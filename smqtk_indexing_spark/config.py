@@ -1,0 +1,72 @@
+"""Pipeline configuration.
+
+The reference builds every component from a JSON-compliant config dict
+(``/root/reference/smqtk_indexing/impls/nn_index/lsh.py:66-158``). We keep the
+same reproducibility contract — every stochastic kernel is seeded from this
+dataclass, and a stable ``config_hash`` keys checkpoints/lineage so signatures
+computed under one config are never mixed with another (the reference's
+"model staleness" rule, ``impls/lsh_functor/itq.py:146-149``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """Config for the near-duplicate detection + clustering pipeline.
+
+    Defaults give 128-perm MinHash in 32 bands x 4 rows: the S-curve puts
+    the collision-probability knee right at ``tau`` = 0.8
+    (P[miss | j=0.8] = (1 - 0.8^4)^32 ~= 5e-8).
+    """
+
+    # --- shingling ---
+    shingle_k: int = 4            # tokens per shingle
+    lowercase: bool = False       # source code is case-sensitive
+    # --- MinHash ---
+    num_perm: int = 128
+    bands: int = 32
+    rows_per_band: int = 4
+    seed: int = 42
+    # --- SimHash ---
+    simhash_bits: int = 64
+    simhash_hamming_max: int = 3  # near-dup radius for the SimHash path
+    # --- verification ---
+    tau: float = 0.8              # exact-Jaccard acceptance threshold
+    minhash_prefilter: float = 0.0  # estimated-Jaccard prefilter (0 = off)
+    # --- skew / scale ---
+    max_bucket_pairs_per_task: int = 5_000_000  # salt blocks above this
+    salt_block_rows: int = 1024   # target member-rows per salted block
+    bucket_cap: int = 100_000     # drop pathological buckets larger than this
+    # --- substring / CDC ---
+    cdc_window: int = 8           # rolling-hash window (chars)
+    cdc_mask_bits: int = 4        # boundary when low bits == 0 -> avg chunk 2^bits
+    min_containee_chars: int = 32  # containment detection floor
+    # --- misc ---
+    shuffle_partitions: int = 32
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band must equal num_perm "
+                f"({self.bands}*{self.rows_per_band} != {self.num_perm})"
+            )
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), sort_keys=True)
+
+    @classmethod
+    def from_json(cls, s: str) -> "DedupConfig":
+        return cls(**json.loads(s))
+
+    @property
+    def config_hash(self) -> str:
+        """Stable hash keying checkpoints + lineage rows."""
+        return hashlib.sha256(self.to_json().encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,424 @@
+"""Pure-numpy signature kernels.
+
+These are the only place the reference's math survives, rewritten from the
+published equations in the same *batched numpy* shape the reference uses for
+its hot loops (ITQ fit stacks an (n,d) matrix, ``/root/reference/smqtk_indexing/
+impls/lsh_functor/itq.py:333-344``; MRPT projects row chunks, ``impls/nn_index/
+mrpt.py:243-266``). Everything is deterministic given (input, seed): the
+reference exposes ``random_seed`` on every stochastic impl
+(``impls/lsh_functor/itq.py:150``, ``impls/lsh_functor/simple_rp.py:71-87``)
+and our config contract ("same shingle/signature config") demands the same.
+
+No Spark imports here — these kernels are shared by the pandas-UDF operators
+and by plain pytest golden tests (reference test pattern:
+``/root/reference/tests/impls/lsh_functor/test_itq.py:255-335``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+
+U64 = np.uint64
+_MIX1 = U64(0x9E3779B97F4A7C15)
+_MIX2 = U64(0xBF58476D1CE4E5B9)
+_MIX3 = U64(0x94D049BB133111EB)
+_POLY = U64(0x100000001B3)  # FNV-ish odd multiplier for k-gram combine
+
+_WS_RE = re.compile(r"\s+")
+
+
+# ---------------------------------------------------------------------------
+# 64-bit mixing / hashing
+# ---------------------------------------------------------------------------
+
+def mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 array (vectorized, wraparound)."""
+    x = x.astype(U64, copy=True)
+    with np.errstate(over="ignore"):
+        x += _MIX1
+        x = (x ^ (x >> U64(30))) * _MIX2
+        x = (x ^ (x >> U64(27))) * _MIX3
+        return x ^ (x >> U64(31))
+
+
+def hash_str64(s: str) -> int:
+    """Stable 64-bit hash of a string (blake2b/8 — process-independent)."""
+    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+
+
+def hash_strs64(strings) -> np.ndarray:
+    """Vector of stable 64-bit hashes; loops only over *unique* strings."""
+    return np.fromiter((hash_str64(s) for s in strings), dtype=U64, count=len(strings))
+
+
+# ---------------------------------------------------------------------------
+# Tokenize + shingle
+# ---------------------------------------------------------------------------
+
+def tokenize(text: str, lowercase: bool = False) -> list:
+    """Whitespace tokenization; mirrors the SQL oracle's split on \\s+."""
+    if lowercase:
+        text = text.lower()
+    return [t for t in _WS_RE.split(text) if t]
+
+
+def shingle_hashes(token_ids: np.ndarray, k: int) -> np.ndarray:
+    """Distinct 64-bit hashes of k-grams over a token-hash sequence.
+
+    Polynomial combine over a sliding window then splitmix — vectorized
+    across all shingles of the document (no per-shingle Python). Returns a
+    sorted-unique uint64 array; empty if fewer than k tokens. This is the
+    "descriptor vector" of a document, the analog of the float vector the
+    reference's functors consume (``interfaces/lsh_functor.py:29-41``).
+    """
+    n = len(token_ids)
+    if n < k:
+        return np.empty(0, dtype=U64)
+    w = np.lib.stride_tricks.sliding_window_view(token_ids.astype(U64), k)
+    acc = np.zeros(n - k + 1, dtype=U64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * _POLY + w[:, j]
+    return np.unique(mix64(acc))
+
+
+def text_shingles(text: str, k: int, lowercase: bool = False) -> np.ndarray:
+    toks = tokenize(text, lowercase)
+    if not toks:
+        return np.empty(0, dtype=U64)
+    return shingle_hashes(hash_strs64(toks), k)
+
+
+# ---------------------------------------------------------------------------
+# MinHash (128-perm) — analog of the LshFunctor bit-vector signature
+# (``interfaces/lsh_functor.py:29-41``) with set semantics for shingles.
+# ---------------------------------------------------------------------------
+
+def make_minhash_perms(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Seeded (a, b) parameter vectors for h_i(x) = a_i*x + b_i (mod 2^64)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 2**63, size=num_perm, dtype=np.uint64) * U64(2) + U64(1)  # odd
+    b = rng.integers(0, 2**63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm,) uint64 signature; all-ones sentinel for empty shingle sets."""
+    if shingles.size == 0:
+        return np.full(a.shape[0], np.iinfo(np.uint64).max, dtype=U64)
+    with np.errstate(over="ignore"):
+        m = shingles[None, :] * a[:, None] + b[:, None]
+    return m.min(axis=1)
+
+
+def minhash_batch(shingle_sets, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_docs, num_perm) — batched over an iterable of shingle arrays."""
+    return np.stack([minhash_signature(s, a, b) for s in shingle_sets])
+
+
+def minhash_estimate(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """Fraction of agreeing permutations — unbiased Jaccard estimate; the
+    dedup analog of Hamming-as-proxy (``interfaces/hash_index.py:92-94``)."""
+    return float(np.mean(sig_a == sig_b))
+
+
+# ---------------------------------------------------------------------------
+# SimHash (64-bit) — sign-of-accumulated-projection, the direct analog of
+# SimpleRP/ITQ ``get_hash``'s sign((x - mean) @ R) (``impls/lsh_functor/
+# simple_rp.py:122-127``, ``impls/lsh_functor/itq.py:389-408``): each shingle
+# contributes +/-1 per bit, the signature is the sign vector packed MSB-first
+# (bit 0 = MSB, matching the reference convention ``itq.py:46-49``).
+# ---------------------------------------------------------------------------
+
+def simhash64(shingles: np.ndarray) -> int:
+    if shingles.size == 0:
+        return 0
+    bits = (shingles[:, None] >> np.arange(64, dtype=U64)[None, ::-1]) & U64(1)
+    counts = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+    packed = np.uint64(0)
+    bitvals = (counts >= 0).astype(np.uint64)
+    for bv in bitvals:  # 64 iterations, negligible
+        packed = np.uint64((int(packed) << 1) | int(bv)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    return int(packed)
+
+
+def simhash_batch(shingle_sets) -> np.ndarray:
+    """(n_docs,) uint64 via one vectorized pack per doc-batch."""
+    out = np.empty(len(shingle_sets), dtype=U64)
+    weights = (U64(1) << np.arange(64, dtype=U64))[::-1]
+    for i, s in enumerate(shingle_sets):
+        if s.size == 0:
+            out[i] = U64(0)
+            continue
+        bits = (s[:, None] >> np.arange(64, dtype=U64)[None, ::-1]) & U64(1)
+        counts = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+        with np.errstate(over="ignore"):
+            out[i] = (weights * (counts >= 0).astype(U64)).sum()
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    """popcount(a ^ b) — ``utils/metrics.py:140-155`` restricted to 64 bits."""
+    return int(bin((int(a) ^ int(b)) & 0xFFFFFFFFFFFFFFFF).count("1"))
+
+
+# ---------------------------------------------------------------------------
+# LSH banding — b bands x r rows over the MinHash signature. The band key is
+# the engine's bucket key, the analog of the reference's hash-int KV key
+# (``impls/nn_index/lsh.py:315-323`` via ``utils/bits.py:4-20``).
+# ---------------------------------------------------------------------------
+
+def band_keys(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(bands,) int64 band-bucket keys from a (num_perm,) signature."""
+    m = sig.reshape(bands, rows_per_band).astype(U64)
+    acc = np.arange(bands, dtype=U64)  # band id folded in => bands never collide
+    with np.errstate(over="ignore"):
+        for j in range(rows_per_band):
+            acc = acc * _POLY + m[:, j]
+    return mix64(acc).view(np.int64)
+
+
+def band_keys_batch(sigs: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n_docs, bands) int64 — fully vectorized banding for a batch."""
+    m = sigs.reshape(sigs.shape[0], bands, rows_per_band).astype(U64)
+    acc = np.broadcast_to(np.arange(bands, dtype=U64), (sigs.shape[0], bands)).copy()
+    with np.errstate(over="ignore"):
+        for j in range(rows_per_band):
+            acc = acc * _POLY + m[:, :, j]
+    return mix64(acc).view(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Exact set similarity — the verification kernel (reference verifies
+# candidates with exact vector distances, ``impls/nn_index/lsh.py:505-519``;
+# the set-similarity analog for shingles is Jaccard).
+# ---------------------------------------------------------------------------
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    if a.size == 0 and b.size == 0:
+        return 0.0
+    inter = np.intersect1d(a, b, assume_unique=True).size
+    return inter / float(a.size + b.size - inter)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) — the scale path for substring containment.
+# A rolling hash over a w-char window cuts wherever the low ``mask_bits`` of
+# the mixed hash are zero; cuts depend only on local content, so a document
+# embedded inside another shares every *interior* chunk with its container.
+# Candidate generation is then a plain equi-join on chunk hashes; exact
+# verification is a string-find. (Reference analog: candidate pruning via
+# exact-match hash keys, ``impls/nn_index/lsh.py:480-497``.)
+# ---------------------------------------------------------------------------
+
+def cdc_boundaries(data: bytes, window: int, mask_bits: int) -> np.ndarray:
+    """Sorted cut positions (exclusive end-of-chunk indices) within data."""
+    n = len(data)
+    if n <= window:
+        return np.array([n], dtype=np.int64)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(U64)
+    w = np.lib.stride_tricks.sliding_window_view(arr, window)
+    acc = np.zeros(n - window + 1, dtype=U64)
+    with np.errstate(over="ignore"):
+        for j in range(window):
+            acc = acc * _POLY + w[:, j]
+    h = mix64(acc)
+    mask = U64((1 << mask_bits) - 1)
+    # window ending at index i+window-1 -> cut AFTER that char
+    cuts = np.nonzero((h & mask) == U64(0))[0] + window
+    return np.unique(np.append(cuts, n)).astype(np.int64)
+
+
+def cdc_chunk_hashes(text: str, window: int, mask_bits: int) -> np.ndarray:
+    """uint64 hash per chunk, in document order (may repeat)."""
+    data = text.encode("utf-8")
+    bounds = cdc_boundaries(data, window, mask_bits)
+    out = np.empty(len(bounds), dtype=U64)
+    start = 0
+    for i, end in enumerate(bounds):
+        out[i] = int.from_bytes(
+            hashlib.blake2b(data[start:end], digest_size=8).digest(), "big"
+        )
+        start = int(end)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Suffix array — per-partition substring pass kernel (north-rule operator
+# with no reference analog; see SURVEY.md §7 step 6). Prefix-doubling with
+# numpy argsort: O(n log^2 n), fully vectorized.
+# ---------------------------------------------------------------------------
+
+def suffix_array(data: bytes) -> np.ndarray:
+    """Suffix array (int64 positions, lexicographic order) of ``data``."""
+    n = len(data)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+    sa = np.argsort(rank, kind="stable")
+    tmp = np.empty(n, dtype=np.int64)
+    k = 1
+    while k < n:
+        pad = np.full(n, -1, dtype=np.int64)
+        second = np.concatenate([rank[k:], pad[: min(k, n)]])[:n]
+        order = np.lexsort((second, rank))
+        tmp[order[0]] = 0
+        prev_key = (rank[order[:-1]], second[order[:-1]])
+        cur_key = (rank[order[1:]], second[order[1:]])
+        newgrp = (cur_key[0] != prev_key[0]) | (cur_key[1] != prev_key[1])
+        tmp[order[1:]] = np.cumsum(newgrp)
+        rank = tmp.copy()
+        sa = order
+        if rank[order[-1]] == n - 1:
+            break
+        k *= 2
+    return sa.astype(np.int64)
+
+
+def find_containments(texts: list, min_len: int = 1) -> list:
+    """All (i, j) with texts[i] a proper substring of texts[j], via one
+    suffix array over the concatenation. Used by the per-partition pass."""
+    sep = "\x00"
+    starts, owner_of = [], []
+    pos = 0
+    for i, t in enumerate(texts):
+        starts.append(pos)
+        pos += len(t.encode("utf-8")) + 1
+    blob = sep.join(texts).encode("utf-8")
+    # ownership lookup by position
+    bounds = np.array(starts + [len(blob) + 1], dtype=np.int64)
+    out = set()
+    for i, t in enumerate(texts):
+        if len(t) < min_len:
+            continue
+        needle = t.encode("utf-8")
+        start = 0
+        while True:
+            at = blob.find(needle, start)
+            if at == -1:
+                break
+            j = int(np.searchsorted(bounds, at, side="right")) - 1
+            if j != i and len(texts[j]) > len(t):
+                out.add((i, j))
+            start = at + 1
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# Vector functors — reference parity for float-descriptor hashing.
+# ---------------------------------------------------------------------------
+
+def norm_vectors(x: np.ndarray, order=2) -> np.ndarray:
+    """Row-wise Lp normalization, zero-vector guarded — semantics of
+    ``ItqFunctor._norm_vector`` / ``SimpleRPFunctor._norm_vector``
+    (``impls/lsh_functor/itq.py:172-191``, ``simple_rp.py:42-59``)."""
+    n = np.linalg.norm(x, ord=order, axis=-1, keepdims=True)
+    n[n == 0] = 1.0
+    return x / n
+
+
+def rp_fit(dim: int, bits: int, seed: int) -> np.ndarray:
+    """Seeded random-projection model — ``SimpleRPFunctor.fit`` semantics
+    (``impls/lsh_functor/simple_rp.py:116-117``): (dim, bits) gaussian."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, bits))
+
+
+def rp_hash(x: np.ndarray, rps: np.ndarray, mean: np.ndarray | None = None) -> np.ndarray:
+    """sign-of-projection bit matrix — ``simple_rp.py:122-127`` semantics:
+    hash = ((x - mean) @ rps) >= 0, batched over rows."""
+    if mean is not None:
+        x = x - mean
+    return (x @ rps) >= 0.0
+
+
+def itq_fit(
+    x: np.ndarray, bits: int, n_iter: int = 50, seed: int = 0, normalize=None
+) -> tuple[np.ndarray, np.ndarray]:
+    """ITQ training (Gong & Lazebnik, CVPR'11) — the published algorithm the
+    reference implements at ``impls/lsh_functor/itq.py:291-387``: mean-center,
+    PCA to ``bits`` dims, then a 50-iteration Procrustes rotation refinement
+    (``itq.py:239-289``). Returns (mean, rotation[(d, bits)])."""
+    x = np.asarray(x, dtype=np.float64)
+    if normalize is not None:
+        x = norm_vectors(x, normalize)
+    mean = x.mean(axis=0)
+    xc = x - mean
+    cov = np.cov(xc, rowvar=False)
+    cov = np.atleast_2d(cov)
+    eigval, eigvec = np.linalg.eigh(cov)
+    top = np.argsort(eigval)[::-1][:bits]
+    pc = eigvec[:, top]                      # (d, bits)
+    v = xc @ pc                              # (n, bits)
+    rng = np.random.default_rng(seed)
+    r = np.linalg.qr(rng.standard_normal((bits, bits)))[0]
+    for _ in range(n_iter):
+        z = v @ r
+        b = np.where(z >= 0, 1.0, -1.0)
+        m = b.T @ v                          # (bits, bits)
+        u, _, vt = np.linalg.svd(m)
+        r = vt.T @ u.T                       # argmax_R tr(R B^T V)
+    return mean, pc @ r                      # fold PCA into one (d, bits) map
+
+
+def itq_hash(x: np.ndarray, mean: np.ndarray, rotation: np.ndarray, normalize=None) -> np.ndarray:
+    """bool bit matrix = (x-mean) @ rotation >= 0 — ``itq.py:389-408``."""
+    x = np.asarray(x, dtype=np.float64)
+    if normalize is not None:
+        x = norm_vectors(x, normalize)
+    return ((x - mean) @ rotation) >= 0.0
+
+
+def bits_to_int64(bits: np.ndarray) -> np.ndarray:
+    """Pack (n, <=64) bool rows MSB-first into int64 — the 64-bit analog of
+    ``utils/bits.py:4-20`` (bit 0 = MSB per ``itq.py:46-49``)."""
+    b = np.asarray(bits, dtype=np.uint64)
+    n, w = b.shape
+    weights = (U64(1) << np.arange(w, dtype=U64))[::-1]
+    with np.errstate(over="ignore"):
+        return (b * weights[None, :]).sum(axis=1).view(np.int64)
+
+
+def int64_to_bits(vals: np.ndarray, width: int) -> np.ndarray:
+    """Inverse of :func:`bits_to_int64` — ``utils/bits.py:23-56`` analog."""
+    v = np.asarray(vals).view(U64)
+    return ((v[:, None] >> np.arange(width, dtype=U64)[None, ::-1]) & U64(1)).astype(bool)
+
+
+# ---------------------------------------------------------------------------
+# Distance kernels (golden-test twins of the Spark column expressions in
+# functions/metrics.py) — semantics of ``utils/metrics.py`` in full.
+# ---------------------------------------------------------------------------
+
+def euclidean_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """``utils/metrics.py:73-86``"""
+    return float(np.sqrt(np.sum((np.asarray(a, float) - np.asarray(b, float)) ** 2)))
+
+
+def cosine_similarity(a: np.ndarray, b: np.ndarray) -> float:
+    """``utils/metrics.py:89-117``"""
+    a = np.asarray(a, float)
+    b = np.asarray(b, float)
+    return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+
+def cosine_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Angular distance arccos(sim)/pi, clamped — ``utils/metrics.py:120-137``."""
+    sim = min(1.0, max(-1.0, cosine_similarity(a, b)))
+    return float(np.arccos(sim) / np.pi)
+
+
+def histogram_intersection_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """1 - sum((a+b-|a-b|)/2) — branch-free form, ``utils/metrics.py:7-46``."""
+    a = np.asarray(a, float)
+    b = np.asarray(b, float)
+    return float(1.0 - np.sum((a + b - np.abs(a - b)) * 0.5))
+
+
+def sha256_hex(text: str) -> str:
+    """Per-row content invariant (BASELINE.json input_hint): must equal both
+    Spark's ``sha2(encode(content,'utf-8'),256)`` and DuckDB's ``sha256``."""
+    return hashlib.sha256(text.encode("utf-8")).hexdigest()

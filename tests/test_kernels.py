@@ -1,0 +1,208 @@
+"""Golden / property tests for the numpy signature kernels.
+
+Mirrors the reference's test patterns (SURVEY.md §5): known-value goldens
+(``/root/reference/tests/impls/lsh_functor/test_itq.py:255-335``), seeded
+property tests (``tests/impls/nn_index/test_lsh.py:754-814``), and metric
+identities (``tests/utils/test_metrics.py:29-57``).
+"""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from smqtk_indexing_spark import kernels as K
+from smqtk_indexing_spark.config import DedupConfig
+
+
+def test_sha256_matches_hashlib():
+    # input_hint invariant: per-row content sha256 equality
+    for s in ["", "hello", "def f(x):\n    return x\n", "ünïcode ✓"]:
+        assert K.sha256_hex(s) == hashlib.sha256(s.encode()).hexdigest()
+
+
+def test_tokenize():
+    assert K.tokenize("  a  b\tc\n") == ["a", "b", "c"]
+    assert K.tokenize("") == []
+    assert K.tokenize("A B", lowercase=True) == ["a", "b"]
+
+
+def test_shingles_deterministic_and_set_semantics():
+    s1 = K.text_shingles("a b c d e", 4)
+    s2 = K.text_shingles("a b c d e", 4)
+    np.testing.assert_array_equal(s1, s2)
+    assert s1.size == 2  # 'a b c d', 'b c d e'
+    # repeated shingle collapses (set semantics)
+    s3 = K.text_shingles("a b a b a b a b", 2)
+    assert s3.size == len(set(s3)) == 2  # 'a b' and 'b a'
+    # fewer than k tokens -> empty
+    assert K.text_shingles("a b", 4).size == 0
+
+
+def test_shingle_order_sensitivity():
+    assert set(K.text_shingles("a b c d", 4)) != set(K.text_shingles("d c b a", 4))
+
+
+def test_minhash_identical_and_estimate():
+    cfg = DedupConfig()
+    a, b = K.make_minhash_perms(cfg.num_perm, cfg.seed)
+    s1 = K.text_shingles("x y z w v u t s r q p o", 4)
+    sig1 = K.minhash_signature(s1, a, b)
+    sig2 = K.minhash_signature(s1.copy(), a, b)
+    np.testing.assert_array_equal(sig1, sig2)
+    assert K.minhash_estimate(sig1, sig2) == 1.0
+
+
+def test_minhash_estimates_jaccard():
+    # seeded property test: estimate within ~3 sigma of true Jaccard
+    rng = np.random.default_rng(7)
+    base = [f"tok{i}" for i in rng.integers(0, 5000, size=400)]
+    edit = list(base)
+    for i in rng.integers(0, 400, size=20):
+        edit[int(i)] = f"mut{i}"
+    a, b = K.make_minhash_perms(128, 42)
+    sa = K.shingle_hashes(K.hash_strs64(base), 4)
+    sb = K.shingle_hashes(K.hash_strs64(edit), 4)
+    true_j = K.jaccard(sa, sb)
+    est = K.minhash_estimate(
+        K.minhash_signature(sa, a, b), K.minhash_signature(sb, a, b)
+    )
+    assert abs(est - true_j) < 3 * np.sqrt(true_j * (1 - true_j) / 128) + 0.02
+
+
+def test_band_keys_collide_iff_rows_equal():
+    cfg = DedupConfig()
+    a, b = K.make_minhash_perms(cfg.num_perm, cfg.seed)
+    s = K.text_shingles(" ".join(f"t{i}" for i in range(50)), 4)
+    sig = K.minhash_signature(s, a, b)
+    bk = K.band_keys(sig, cfg.bands, cfg.rows_per_band)
+    assert bk.shape == (cfg.bands,)
+    bk2 = K.band_keys(sig.copy(), cfg.bands, cfg.rows_per_band)
+    np.testing.assert_array_equal(bk, bk2)
+    # batch form agrees with single form
+    batch = K.band_keys_batch(np.stack([sig, sig]), cfg.bands, cfg.rows_per_band)
+    np.testing.assert_array_equal(batch[0], bk)
+    # different band contents -> different keys (w.h.p.)
+    assert len(set(bk.tolist())) == cfg.bands
+
+
+def test_simhash_similar_docs_near_in_hamming():
+    t1 = " ".join(f"w{i}" for i in range(200))
+    t2 = t1.replace("w100", "zz")  # one-token edit
+    t3 = " ".join(f"q{i}" for i in range(200))
+    h1 = K.simhash_batch([K.text_shingles(t1, 4)])[0]
+    h2 = K.simhash_batch([K.text_shingles(t2, 4)])[0]
+    h3 = K.simhash_batch([K.text_shingles(t3, 4)])[0]
+    assert K.hamming64(h1, h2) <= 8
+    assert K.hamming64(h1, h3) > 16
+    # single-doc form agrees with batch form
+    assert K.simhash64(K.text_shingles(t1, 4)) == int(h1)
+
+
+def test_hamming64_basics():
+    # utils/metrics.py:140-155 semantics on 64-bit ints
+    assert K.hamming64(0, 0) == 0
+    assert K.hamming64(0b1011, 0b0010) == 2
+    assert K.hamming64(2**63, 0) == 1
+
+
+def test_jaccard():
+    a = np.array([1, 2, 3], dtype=np.uint64)
+    b = np.array([2, 3, 4], dtype=np.uint64)
+    assert K.jaccard(a, b) == pytest.approx(2 / 4)
+    assert K.jaccard(a, a) == 1.0
+    assert K.jaccard(np.empty(0, np.uint64), np.empty(0, np.uint64)) == 0.0
+
+
+# --- CDC / substring ---
+
+def test_cdc_interior_chunks_align_for_substring():
+    rng = np.random.default_rng(3)
+    inner = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, size=400))
+    outer = "PREFIX-" * 10 + inner + "-SUFFIX" * 10
+    ci = K.cdc_chunk_hashes(inner, 8, 4)
+    co = K.cdc_chunk_hashes(outer, 8, 4)
+    interior = set(ci[1:-1].tolist())
+    assert len(interior) > 0
+    assert interior <= set(co.tolist())
+
+
+def test_cdc_determinism_and_coverage():
+    t = "hello world " * 20
+    h1 = K.cdc_chunk_hashes(t, 8, 4)
+    h2 = K.cdc_chunk_hashes(t, 8, 4)
+    np.testing.assert_array_equal(h1, h2)
+    b = K.cdc_boundaries(t.encode(), 8, 4)
+    assert b[-1] == len(t.encode())
+
+
+def test_suffix_array_matches_naive():
+    for s in [b"banana", b"mississippi", b"aaaa", b"", b"ab"]:
+        sa = K.suffix_array(s)
+        naive = sorted(range(len(s)), key=lambda i: s[i:])
+        assert sa.tolist() == naive
+
+
+def test_find_containments():
+    texts = ["abc", "xxabcxx", "zzz", "xxabcxx"]
+    got = K.find_containments(texts)
+    assert (0, 1) in got and (0, 3) in got
+    assert (2, 1) not in got
+    # equal texts are NOT containment (proper substring only)
+    assert (1, 3) not in got and (3, 1) not in got
+
+
+# --- vector functors (reference parity) ---
+
+def test_itq_fit_collinear_golden():
+    # reference golden: 5 collinear 2-D points, 1 bit -> mean 0, rotation
+    # +-[1/sqrt2, 1/sqrt2] (tests/impls/lsh_functor/test_itq.py:255-270)
+    x = np.array([[-2, -2], [-1, -1], [0, 0], [1, 1], [2, 2]], dtype=float)
+    mean, rot = K.itq_fit(x, bits=1, n_iter=50, seed=0)
+    np.testing.assert_allclose(mean, [0, 0], atol=1e-12)
+    np.testing.assert_allclose(np.abs(rot.ravel()), [2**-0.5, 2**-0.5], atol=1e-8)
+
+
+def test_itq_hash_decision_boundary():
+    # probes around the y=-x boundary (test_itq.py:304-335 analog)
+    x = np.array([[-2, -2], [-1, -1], [0, 0], [1, 1], [2, 2]], dtype=float)
+    mean, rot = K.itq_fit(x, bits=1, n_iter=50, seed=0)
+    h = K.itq_hash(np.array([[1.0, 1.0], [-1.0, -1.0]]), mean, rot)
+    assert h[0, 0] != h[1, 0]  # opposite sides of the boundary
+
+
+def test_rp_hash_shapes_and_determinism():
+    rps = K.rp_fit(16, 8, seed=9)
+    np.testing.assert_array_equal(rps, K.rp_fit(16, 8, seed=9))
+    x = np.random.default_rng(1).standard_normal((10, 16))
+    h = K.rp_hash(x, rps)
+    assert h.shape == (10, 8) and h.dtype == bool
+
+
+def test_bits_pack_roundtrip_msb_first():
+    bits = np.array([[1, 0, 1, 1] + [0] * 60], dtype=bool)
+    v = K.bits_to_int64(bits)
+    # MSB-first: bit index 0 is the most significant (itq.py:46-49 convention)
+    assert v[0] == np.int64(np.uint64(0b1011 << 60).view(np.int64))
+    np.testing.assert_array_equal(K.int64_to_bits(v, 64), bits)
+
+
+def test_metric_identities():
+    # tests/utils/test_metrics.py:29-57 analogs
+    z = np.zeros(4)
+    assert K.histogram_intersection_distance(z, z) == 1.0
+    a = np.array([0.25, 0.25, 0.25, 0.25])
+    assert K.histogram_intersection_distance(a, a) == pytest.approx(0.0)
+    assert K.euclidean_distance(a, a) == 0.0
+    assert K.cosine_similarity(a, a) == pytest.approx(1.0)
+    assert K.cosine_distance(a, a) == pytest.approx(0.0)
+    b = np.array([1.0, 0, 0, 0])
+    c = np.array([0, 1.0, 0, 0])
+    assert K.cosine_distance(b, c) == pytest.approx(0.5)  # orthogonal -> 90deg/pi
+
+
+def test_norm_vectors_zero_guard():
+    x = np.array([[0.0, 0.0], [3.0, 4.0]])
+    n = K.norm_vectors(x)
+    np.testing.assert_allclose(n[1], [0.6, 0.8])
+    np.testing.assert_allclose(n[0], [0.0, 0.0])
