@@ -1,0 +1,100 @@
+"""Distributed connected components — large-star/small-star.
+
+The clustering the north rule requires on top of the reference's pairwise
+core: verified dup pairs -> transitive closure -> cluster assignments with
+``cluster_id = min(doc_id)`` of the component (deterministic labels, so
+cluster comparisons never depend on arbitrary ids).
+
+Algorithm: alternating large-star/small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14) — converges in O(log n)
+rounds, each round two shuffles. Spark has no fixpoint operator; the driver
+loops DataFrame jobs with ``localCheckpoint`` per round to cut lineage
+(SURVEY.md §4 item 4).
+
+No reference analog: the reference stops at ranked neighbor lists; the
+closure is the "maximize hash collision for similar items" contract
+(``/root/reference/smqtk_indexing/interfaces/lsh_functor.py:16-18``) taken
+to a fixpoint.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """edges (u,v) canonical u>v -> for each node, link every strictly-larger
+    neighbor to the neighborhood minimum."""
+    sym = edges.select(F.col("u"), F.col("v")).unionAll(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """edges (u,v) with u>v -> for each node, link all smaller-or-equal
+    neighbors (and itself) to the minimum of that set."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    linked = (
+        edges.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .unionAll(mins.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return linked.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """(a, b) undirected edges -> (doc_id, cluster_id=min of component).
+
+    ``nodes`` (single column ``doc_id``) optionally adds isolated vertices,
+    which come back as singleton clusters.
+    """
+    e = (
+        edges.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        changed = (
+            e2.count() != e.count()
+            or not e2.exceptAll(e).isEmpty()
+        )
+        old = e
+        e = e2
+        if not changed:
+            old.unpersist()
+            break
+        old.unpersist()
+    assign = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    out = assign.unionByName(roots)
+    if nodes is not None:
+        singletons = (
+            nodes.select(F.col(nodes.columns[0]).cast("long").alias("doc_id"))
+            .join(out, "doc_id", "left_anti")
+            .withColumn("cluster_id", F.col("doc_id"))
+        )
+        out = out.unionByName(singletons)
+    return out.distinct()

@@ -1,0 +1,88 @@
+"""Signature stage: documents -> (doc_id, n_tokens, n_shingles, shingles,
+minhash, simhash, bands) in ONE vectorized ``mapInPandas`` pass.
+
+This is the reference's ``build_index`` hash loop
+(``/root/reference/smqtk_indexing/impls/nn_index/lsh.py:316-321``: per
+descriptor, ``get_hash`` then bit-vector -> int key) lifted to a single
+Arrow-batched pass — the same batched-numpy shape as the reference's ITQ fit
+hot loop (``impls/lsh_functor/itq.py:333-344``), with no per-row Python UDFs
+(BASELINE input_hint contract).
+
+Column pruning: callers should ``select`` only what the next stage needs —
+``content``/``text`` is dropped here and never re-read by the LSH stages.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smqtk_indexing_spark import kernels as K
+from smqtk_indexing_spark.config import DedupConfig
+
+SIGNATURE_SCHEMA = (
+    "doc_id long, n_tokens int, n_shingles int, "
+    "shingles array<long>, minhash array<long>, simhash long, bands array<long>"
+)
+
+
+def compute_signatures(
+    df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One pass over (id, text) -> full signature set per document.
+
+    Documents with fewer than ``shingle_k`` tokens get empty shingle sets and
+    are excluded from LSH banding downstream (their ``bands`` is empty) —
+    the analog of the reference's empty-input guard
+    (``utils/iter_validation.py:8-28``), degraded per-row instead of failing
+    the job.
+    """
+    shingle_k = cfg.shingle_k
+    lowercase = cfg.lowercase
+    num_perm, seed = cfg.num_perm, cfg.seed
+    bands, rows_per_band = cfg.bands, cfg.rows_per_band
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a, b = K.make_minhash_perms(num_perm, seed)  # rebuilt per task: tiny
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            texts = pdf[text_col].tolist()
+            shingle_sets = [
+                K.text_shingles(t if t is not None else "", shingle_k, lowercase)
+                for t in texts
+            ]
+            n_tokens = np.fromiter(
+                (len(K.tokenize(t if t is not None else "", lowercase)) for t in texts),
+                dtype=np.int32,
+                count=len(texts),
+            )
+            sigs = K.minhash_batch(shingle_sets, a, b)  # (n, num_perm) uint64
+            sims = K.simhash_batch(shingle_sets).view(np.int64)
+            bkeys = K.band_keys_batch(sigs, bands, rows_per_band)  # (n, bands)
+            sig64 = sigs.view(np.int64)
+            out = pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "n_tokens": n_tokens,
+                    "n_shingles": [int(s.size) for s in shingle_sets],
+                    "shingles": [s.view(np.int64).tolist() for s in shingle_sets],
+                    "minhash": [row.tolist() for row in sig64],
+                    "simhash": sims,
+                    "bands": [
+                        row.tolist() if shingle_sets[i].size > 0 else []
+                        for i, row in enumerate(bkeys)
+                    ],
+                }
+            )
+            yield out
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(gen, schema=SIGNATURE_SCHEMA)
