@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship near-dup pipeline at sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for the SQL-expressible ones;
+hash-function-dependent operators (MinHash/SimHash/xxhash64 outputs) are
+intentionally omitted there and get the driver's rows-only check.
+
+Column names are aliased identically on both sides (driver hashes values
+after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -12,27 +15,400 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smqtk_indexing_spark.config import DedupConfig
+from smqtk_indexing_spark.functions import metrics as M
+from smqtk_indexing_spark.functions import text as TX
+from smqtk_indexing_spark.functions.text import LANG_MARKERS, _STOPWORDS
+from smqtk_indexing_spark.operators import ann, dedup
+from smqtk_indexing_spark.operators.candidates import band_buckets, candidate_pairs
+from smqtk_indexing_spark.operators.cluster import connected_components
+from smqtk_indexing_spark.operators.multimodal import extract_features, to_assets
+from smqtk_indexing_spark.operators.signatures import compute_signatures
+from smqtk_indexing_spark.operators.substrings import substring_pairs
+from smqtk_indexing_spark.operators.verify import verify_pairs
+
+CFG = DedupConfig()
+K = CFG.shingle_k
+TAU = CFG.tau
+TOPK = 5
+
+# ---------------------------------------------------------------------------
+# loaders
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Spark queries
+# ---------------------------------------------------------------------------
+
+def q_sha256_rows(spark, sf_dir):
+    # P10: per-row content sha256 (input_hint invariant)
+    return dedup.with_sha256(_docs(spark, sf_dir)).select("doc_id", "sha256")
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    # S4/A4 analog: exact-equality grouping fast path
+    return dedup.exact_dup_groups(_docs(spark, sf_dir)).select(
+        "sha256", "n_dups", "rep_id"
+    )
+
+
+def _bruteforce_pairs(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", TX.shingles_str("text", K).alias("sh")
+    ).where(F.size("sh") > 0)
+    a = d.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("jaccard", M.jaccard_arrays("sh_a", "sh_b"))
+        .where(F.col("jaccard") >= F.lit(TAU))
+        .select("a", "b", "jaccard")
+    )
+
+
+def q_near_dup_pairs_bruteforce(spark, sf_dir):
+    # M5 exact Jaccard, all-pairs — correctness baseline for the LSH path
+    return _bruteforce_pairs(spark, sf_dir)
+
+
+def _lsh_pairs(spark, sf_dir):
+    sigs = compute_signatures(_docs(spark, sf_dir), CFG)
+    return verify_pairs(candidate_pairs(band_buckets(sigs, CFG), CFG), sigs, CFG)
+
+
+def q_near_dup_pairs_lsh(spark, sf_dir):
+    # P1/P11 + A1 + J1/J3 + M5/M6 + T1: the full LSH dedup dataflow.
+    # Same oracle as brute force: banding at 32x4 has miss prob ~5e-8 at tau.
+    return _lsh_pairs(spark, sf_dir)
+
+
+def q_dup_clusters(spark, sf_dir):
+    # connected components (large-star/small-star) over verified pairs
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return connected_components(
+        _lsh_pairs(spark, sf_dir).select("a", "b"), nodes=docs
+    ).select("doc_id", "cluster_id")
+
+
+def q_substring_containment(spark, sf_dir):
+    # CDC-anchored substring pass + exact verify
+    return substring_pairs(
+        _docs(spark, sf_dir), CFG, id_col="doc_id", text_col="text"
+    ).select("inner", "outer")
+
+
+def q_index_counts(spark, sf_dir):
+    # S6 count + A2 bucket count: bucket rows = 32 bands per shingled doc
+    d = _docs(spark, sf_dir)
+    sigs = compute_signatures(d, CFG)
+    n_docs = d.count()
+    n_indexed = sigs.where(F.col("n_shingles") > 0).count()
+    n_buckets = band_buckets(sigs, CFG).count()
+    return spark.createDataFrame(
+        [("n_docs", n_docs), ("n_indexed", n_indexed), ("n_bucket_rows", n_buckets)],
+        "metric string, value long",
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens"),
+        F.length("text").alias("n_chars_txt"),
+        TX.mean_token_len("text").alias("mean_tok_len"),
+        F.size(F.array_distinct(TX.tokens("text"))).alias("n_distinct_tokens"),
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.stopword_ratio("text").alias("stopword_ratio"),
+        TX.whitespace_ratio("text").alias("ws_ratio"),
+        (F.size(F.array_distinct(TX.tokens("text"))).cast("double")
+         / F.size(TX.tokens("text"))).alias("ttr"),
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.lang_id("text").alias("lang_pred")
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    # rolling-hash document fingerprint (bottom-1 sketch); hash-dependent
+    return _docs(spark, sf_dir).select(
+        "doc_id", TX.fingerprint64("text", K).alias("fingerprint")
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    # P1/P2/P6 signature projection; hash-dependent -> rows-only oracle
+    return compute_signatures(_docs(spark, sf_dir), CFG).select(
+        "doc_id", "n_tokens", "n_shingles", "simhash"
+    )
+
+
+def q_simhash_hamming_pairs(spark, sf_dir):
+    # J5/M1: Hamming-radius theta-join over 64-bit SimHash signatures
+    sigs = compute_signatures(_docs(spark, sf_dir), CFG).where(
+        F.col("n_shingles") > 0
+    )
+    a = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
+    b = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", M.hamming64("ha", "hb"))
+        .where(F.col("hamming") <= CFG.simhash_hamming_max)
+        .select("a", "b", "hamming")
+    )
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    return ann.cosine_topk(_emb(spark, sf_dir), k=TOPK)
+
+
+def q_ann_euclidean_topk(spark, sf_dir):
+    return ann.euclidean_topk(_emb(spark, sf_dir), k=TOPK)
+
+
+def q_ann_hik_topk(spark, sf_dir):
+    return ann.hik_topk(_emb(spark, sf_dir), k=TOPK)
+
+
+def q_ann_rp_lsh_topk(spark, sf_dir):
+    # approximate: banded RP-LSH candidates + exact cosine re-rank
+    return ann.rp_lsh_topk(_emb(spark, sf_dir), k=TOPK)
+
+
+def q_rp_hamming_topk(spark, sf_dir):
+    # linear Hamming scan over RP signatures (linear.py:206-244 analog)
+    return ann.hamming_topk(ann.rp_signatures(_emb(spark, sf_dir)), k=TOPK)
+
+
+def q_multimodal_features(spark, sf_dir):
+    # binary-asset plumbing: text payload -> binary -> feature stub
+    assets = to_assets(_docs(spark, sf_dir), "doc_id", "text", "text")
+    return extract_features(assets, decode="fake").select(
+        F.col("asset_id"),
+        F.col("kind"),
+        F.col("n_bytes"),
+        F.size("feature").alias("n_dims"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: LSH near-dup pairs on sf0.001 (SURVEY.md §3.2)."""
+    return q_near_dup_pairs_lsh(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "sha256_rows": q_sha256_rows,
+        "exact_dup_groups": q_exact_dup_groups,
+        "near_dup_pairs_bruteforce": q_near_dup_pairs_bruteforce,
+        "near_dup_pairs_lsh": q_near_dup_pairs_lsh,
+        "dup_clusters": q_dup_clusters,
+        "substring_containment": q_substring_containment,
+        "index_counts": q_index_counts,
+        "token_stats": q_token_stats,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "doc_fingerprint": q_doc_fingerprint,
+        "minhash_signatures": q_minhash_signatures,
+        "simhash_hamming_pairs": q_simhash_hamming_pairs,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_euclidean_topk": q_ann_euclidean_topk,
+        "ann_hik_topk": q_ann_hik_topk,
+        "ann_rp_lsh_topk": q_ann_rp_lsh_topk,
+        "rp_hamming_topk": q_rp_hamming_topk,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+_SHINGLES = (
+    "list_distinct([list_aggregate(ts[i:i+{km1}], 'string_agg', ' ') "
+    "FOR i IN generate_series(1, len(ts)-{km1})])"
+).format(km1=K - 1)
+
+_PAIRS_CTE = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+s AS (SELECT doc_id, {_SHINGLES} AS sh FROM t WHERE len(ts) >= {K}),
+pairs AS (
+  SELECT x.doc_id AS a, y.doc_id AS b,
+         len(list_intersect(x.sh, y.sh))::DOUBLE
+           / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jaccard
+  FROM s x JOIN s y ON x.doc_id < y.doc_id
+)
+"""
+
+_NEAR_DUP_SQL = _PAIRS_CTE + f"SELECT a, b, jaccard FROM pairs WHERE jaccard >= {TAU}"
+
+_CLUSTERS_SQL = (
+    "WITH RECURSIVE "
+    + _PAIRS_CTE.replace("WITH ", "", 1)
+    + f""",
+dup AS (SELECT a, b FROM pairs WHERE jaccard >= {TAU}),
+edges AS (SELECT a AS u, b AS v FROM dup UNION SELECT b, a FROM dup),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+comp AS (SELECT u AS doc_id, least(min(v), u) AS cluster_id FROM reach GROUP BY u)
+SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+)
+
+
+def _dot(x: str, y: str) -> str:
+    return (
+        f"list_sum([{x}[i]::DOUBLE * {y}[i]::DOUBLE "
+        f"FOR i IN generate_series(1, len({x}))])"
+    )
+
+
+def _ann_sql(score: str, direction: str) -> str:
+    return f"""
+WITH p AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {score} AS score0
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+),
+r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score0 {direction}, neighbor_id)::INT AS rank,
+         round(score0, 6) AS score
+  FROM p
+)
+SELECT query_id, neighbor_id, rank, score FROM r WHERE rank <= {TOPK}
+"""
+
+
+_COSINE = (
+    _dot("a.embedding", "b.embedding")
+    + " / (sqrt(" + _dot("a.embedding", "a.embedding") + ")"
+    + " * sqrt(" + _dot("b.embedding", "b.embedding") + "))"
+)
+_EUCLID = (
+    "sqrt(list_sum([(a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)"
+    " * (a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)"
+    " FOR i IN generate_series(1, len(a.embedding))]))"
+)
+_HIK = (
+    "1.0 - list_sum([(a.embedding[i]::DOUBLE + b.embedding[i]::DOUBLE"
+    " - abs(a.embedding[i]::DOUBLE - b.embedding[i]::DOUBLE)) * 0.5"
+    " FOR i IN generate_series(1, len(a.embedding))])"
+)
+
+
+def _lang_sql() -> str:
+    hits = {
+        lang: (
+            "len(list_intersect(list_distinct(ts), ["
+            + ", ".join(f"'{m}'" for m in ms)
+            + "]))"
+        )
+        for lang, ms in LANG_MARKERS.items()
+    }
+    langs = list(LANG_MARKERS)
+    case = "CASE"
+    conds = []
+    for i, lang in enumerate(langs):
+        gt = " AND ".join(f"{hits[lang]} > {hits[p]}" for p in langs[:i])
+        ge = " AND ".join(f"{hits[lang]} >= {hits[q]}" for q in langs[i + 1 :])
+        cond = " AND ".join(c for c in [f"{hits[lang]} > 0", gt, ge] if c)
+        conds.append(f" WHEN {cond} THEN '{lang}'")
+    case += "".join(conds) + " ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents)
+SELECT doc_id, {case} AS lang_pred FROM t
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return {
+        "sha256_rows": "SELECT doc_id, sha256(text) AS sha256 FROM documents",
+        "exact_dup_groups": """
+            SELECT sha256(text) AS sha256, count(*) AS n_dups,
+                   min(doc_id) AS rep_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1
+        """,
+        "near_dup_pairs_bruteforce": _NEAR_DUP_SQL,
+        "near_dup_pairs_lsh": _NEAR_DUP_SQL,
+        "dup_clusters": _CLUSTERS_SQL,
+        "substring_containment": """
+            SELECT a.doc_id AS "inner", b.doc_id AS "outer"
+            FROM documents a JOIN documents b
+              ON a.doc_id <> b.doc_id
+             AND length(a.text) < length(b.text)
+             AND position(a.text IN b.text) > 0
+        """,
+        "index_counts": f"""
+            SELECT 'n_docs' AS metric, count(*)::BIGINT AS value FROM documents
+            UNION ALL
+            SELECT 'n_indexed', count(*)::BIGINT FROM documents
+             WHERE len({_TOKS}) >= {K}
+            UNION ALL
+            SELECT 'n_bucket_rows', ({CFG.bands} * count(*))::BIGINT FROM documents
+             WHERE len({_TOKS}) >= {K}
+        """,
+        "token_stats": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS ts FROM documents)
+            SELECT doc_id,
+                   len(ts)::INT AS n_tokens,
+                   length(text)::INT AS n_chars_txt,
+                   CASE WHEN len(ts) > 0
+                        THEN list_sum([length(x) FOR x IN ts])::DOUBLE / len(ts)
+                        ELSE 0.0 END AS mean_tok_len,
+                   len(list_distinct(ts))::INT AS n_distinct_tokens
+            FROM t
+        """,
+        "quality_scores": f"""
+            WITH t AS (SELECT doc_id, text, {_TOKS} AS ts FROM documents)
+            SELECT doc_id,
+                   CASE WHEN len(ts) > 0
+                        THEN len(list_filter(ts, x -> list_contains([{stop_list}], x)))::DOUBLE / len(ts)
+                        ELSE 0.0 END AS stopword_ratio,
+                   CASE WHEN length(text) > 0
+                        THEN length(regexp_replace(text, '[^\\s]', '', 'g'))::DOUBLE / length(text)
+                        ELSE 0.0 END AS ws_ratio,
+                   len(list_distinct(ts))::DOUBLE / len(ts) AS ttr
+            FROM t
+        """,
+        "lang_id": _lang_sql(),
+        "ann_cosine_topk": _ann_sql(_COSINE, "DESC"),
+        "ann_euclidean_topk": _ann_sql(_EUCLID, "ASC"),
+        "ann_hik_topk": _ann_sql(_HIK, "ASC"),
+        "multimodal_features": """
+            SELECT doc_id AS asset_id, 'text' AS kind,
+                   octet_length(encode(text))::INT AS n_bytes,
+                   256 AS n_dims
+            FROM documents
+        """,
+        # intentionally no oracle (Spark-native hash functions / approximate):
+        # doc_fingerprint, minhash_signatures, simhash_hamming_pairs,
+        # ann_rp_lsh_topk, rp_hamming_topk
+    }

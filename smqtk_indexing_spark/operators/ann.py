@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns — the reference's query surface
+(``NearestNeighborsIndex.nn``, ``/root/reference/smqtk_indexing/interfaces/
+nearest_neighbor_index.py:96-118``) generalized to batch top-k DataFrames.
+
+- brute-force top-k: the correctness baseline, = the reference's
+  ``LinearHashIndex`` scan (``impls/hash_index/linear.py:231-244``) with
+  Catalyst's TakeOrdered/window-rank instead of ``heapq.nsmallest``.
+- RP-LSH bucketed top-k: the scale path — 64-bit sign-of-projection
+  signatures (``impls/lsh_functor/simple_rp.py:122-127`` semantics) banded
+  into Hamming buckets for candidate generation, exact re-rank after
+  (``impls/nn_index/lsh.py:505-519`` shape).
+
+All ranking math is Catalyst expressions; only the signature projection is a
+pandas UDF (matmul over Arrow batches — ``impls/nn_index/mrpt.py:243-266``
+shape).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from smqtk_indexing_spark import kernels as K
+from smqtk_indexing_spark.functions import metrics as M
+
+
+def _ranked(
+    pairs: DataFrame, score: Column, k: int, ascending: bool
+) -> DataFrame:
+    order = [score.asc() if ascending else score.desc(), F.col("neighbor_id").asc()]
+    w = Window.partitionBy("query_id").orderBy(*order)
+    return (
+        pairs.withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("score", 6).alias("score"))
+    )
+
+
+def _self_pairs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    a = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
+    return a.crossJoin(b).where(F.col("query_id") != F.col("neighbor_id"))
+
+
+def cosine_topk(
+    emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force all-pairs cosine top-k (descending similarity)."""
+    p = _self_pairs(emb, id_col, vec_col)
+    return _ranked(p, M.cosine_similarity("va", "vb"), k, ascending=False)
+
+
+def euclidean_topk(
+    emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Brute-force euclidean top-k — ``utils/metrics.py:73-86`` ranking."""
+    p = _self_pairs(emb, id_col, vec_col)
+    return _ranked(p, M.euclidean_distance("va", "vb"), k, ascending=True)
+
+
+def hik_topk(
+    emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Histogram-intersection-distance top-k — ``utils/metrics.py:7-70``
+    ranking (the FLANN HIK path, ``impls/nn_index/flann.py:467-474``)."""
+    p = _self_pairs(emb, id_col, vec_col)
+    return _ranked(p, M.histogram_intersection_distance("va", "vb"), k, ascending=True)
+
+
+RP_SIG_SCHEMA = "vec_id long, rp_sig long"
+
+
+def rp_signatures(
+    emb: DataFrame,
+    bits: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """64-bit sign-of-projection signatures via one Arrow-batched matmul.
+
+    The projection model is derived from (dim, bits, seed) inside each task
+    — equivalent to broadcasting it, with zero driver state
+    (``simple_rp.py:116-127`` semantics, no mean-centering)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rps = None
+        for pdf in batches:
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if rps is None:
+                rps = K.rp_fit(x.shape[1], bits, seed)
+            bitmat = K.rp_hash(x, rps)
+            sig = K.bits_to_int64(bitmat)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col].astype("int64"), "rp_sig": sig}
+            )
+
+    return emb.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+    ).mapInPandas(gen, schema=RP_SIG_SCHEMA)
+
+
+def hamming_topk(sigs: DataFrame, k: int = 5) -> DataFrame:
+    """Brute-force Hamming top-k over (vec_id, rp_sig) — the J5 theta-join
+    (``impls/hash_index/linear.py:231-244``), normalized distance as at
+    ``linear.py:241-243``."""
+    a = sigs.select(F.col("vec_id").alias("query_id"), F.col("rp_sig").alias("sa"))
+    b = sigs.select(F.col("vec_id").alias("neighbor_id"), F.col("rp_sig").alias("sb"))
+    p = a.crossJoin(b).where(F.col("query_id") != F.col("neighbor_id"))
+    dist = M.hamming64("sa", "sb").cast("double") / F.lit(64.0)
+    return _ranked(p, dist, k, ascending=True)
+
+
+def rp_lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-path ANN: band the 64-bit RP signature into ``bands`` byte
+    buckets, equi-join for candidates, exact cosine re-rank. Approximate:
+    only pairs sharing >= 1 band are ranked."""
+    sigs = rp_signatures(emb, 64, seed, id_col, vec_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    bucketed = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.shiftright("rp_sig", i * width).bitwiseAND(F.lit(mask))
+                        + F.lit(i << 32)
+                    ).alias(f"b{i}")
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    x = bucketed.select(F.col("vec_id").alias("query_id"), "bucket")
+    y = bucketed.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    cand = (
+        x.join(y, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    v = emb.select(F.col(id_col).cast("long").alias("did"), F.col(vec_col).alias("v"))
+    pairs = cand.join(
+        v.select(F.col("did").alias("query_id"), F.col("v").alias("va")), "query_id"
+    ).join(
+        v.select(F.col("did").alias("neighbor_id"), F.col("v").alias("vb")),
+        "neighbor_id",
+    )
+    return _ranked(pairs, M.cosine_similarity("va", "vb"), k, ascending=False)

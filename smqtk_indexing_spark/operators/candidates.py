@@ -90,12 +90,14 @@ def candidate_pairs(
         "jb", F.explode(F.sequence(F.col("blk"), F.col("nb") - 1))
     ).select("band_hash", F.col("doc_id").alias("ld"), F.col("blk").alias("lb"), "jb")
     right = big.select(
-        "band_hash", F.col("doc_id").alias("rd"), F.col("blk").alias("rb")
+        F.col("band_hash").alias("bh_r"),
+        F.col("doc_id").alias("rd"),
+        F.col("blk").alias("rb"),
     )
     pairs_big = (
         left.join(
             right,
-            (left.band_hash == right.band_hash) & (left.jb == right.rb),
+            (F.col("band_hash") == F.col("bh_r")) & (F.col("jb") == F.col("rb")),
         )
         .where(
             (F.col("lb") < F.col("rb"))

@@ -1,0 +1,179 @@
+"""Substring-containment detection — the suffix-array / CDC pass.
+
+North-rule operator with no reference analog (SURVEY.md §2.10, §7 step 6):
+find pairs where one document's full content appears inside another.
+
+Two cooperating paths:
+
+1. **CDC anchor join (the scale path).** A content-defined-chunking rolling
+   hash (kernels.cdc_chunk_hashes) cuts each document at content-determined
+   positions, so a document embedded inside another shares every *interior*
+   chunk with its container (cuts depend only on a ``cdc_window``-char
+   context). Candidate rule: ALL distinct interior chunk hashes of the
+   containee appear in the container's chunk set — one equi-join on
+   chunk_hash + a group-count equality, all Catalyst built-ins. Exact
+   verification is then a JVM-side ``contains``. Recall boundary: containees
+   with < 3 chunks (shorter than ~2 average chunk lengths) have no interior
+   chunk and are missed — bounded by ``cfg.min_containee_chars`` and the
+   chunk-size knob ``cfg.cdc_mask_bits``.
+
+2. **Per-partition suffix-array pass (exhaustive, local).** Within each
+   partition, one generalized suffix structure over the concatenated texts
+   finds every containment with no length floor (kernels.find_containments,
+   numpy suffix array in kernels.suffix_array). Distributed via
+   ``applyInPandas`` over a partition-id group key. Cross-partition pairs
+   are the CDC path's job; co-partitioning by repo/lang raises its local
+   hit-rate when used standalone.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smqtk_indexing_spark import kernels as K
+from smqtk_indexing_spark.config import DedupConfig
+
+CHUNK_SCHEMA = "doc_id long, n_chars int, chunk_hash long, is_interior boolean"
+
+
+def cdc_chunks(
+    df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One vectorized pass: (id, text) -> exploded distinct chunk hashes with
+    an interior flag (first/last chunk of each doc are edge chunks)."""
+    window, mask_bits = cfg.cdc_window, cfg.cdc_mask_bits
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, lens, hashes, interior = [], [], [], []
+            for did, text in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                t = text or ""
+                ch = K.cdc_chunk_hashes(t, window, mask_bits).view(np.int64)
+                inter = set(ch[1:-1].tolist()) if len(ch) >= 3 else set()
+                for h in set(ch.tolist()):
+                    ids.append(did)
+                    lens.append(len(t))
+                    hashes.append(h)
+                    interior.append(h in inter)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_chars": pd.Series(lens, dtype="int32"),
+                    "chunk_hash": pd.Series(hashes, dtype="int64"),
+                    "is_interior": pd.Series(interior, dtype="bool"),
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
+    ).mapInPandas(gen, schema=CHUNK_SCHEMA)
+
+
+def containment_candidates(chunks: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(inner, outer) candidates where every interior chunk of ``inner``
+    appears in ``outer``'s chunk set and ``inner`` is strictly shorter."""
+    inner = (
+        chunks.where(F.col("is_interior") & (F.col("n_chars") >= cfg.min_containee_chars))
+        .select(
+            F.col("doc_id").alias("inner"),
+            F.col("n_chars").alias("inner_chars"),
+            "chunk_hash",
+        )
+    )
+    n_interior = inner.groupBy("inner").agg(F.count("*").alias("n_int"))
+    outer = chunks.select(
+        F.col("doc_id").alias("outer"),
+        F.col("n_chars").alias("outer_chars"),
+        "chunk_hash",
+    )
+    hits = (
+        inner.join(outer, "chunk_hash")
+        .where(
+            (F.col("inner") != F.col("outer"))
+            & (F.col("inner_chars") < F.col("outer_chars"))
+        )
+        .groupBy("inner", "outer")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        hits.join(n_interior, "inner")
+        .where(F.col("n_hit") == F.col("n_int"))
+        .select("inner", "outer")
+    )
+
+
+def verify_containment(
+    cand: DataFrame,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact verification: inner.text is a substring of outer.text and
+    strictly shorter (proper containment). JVM-side ``contains``."""
+    t = df.select(F.col(id_col).cast("long").alias("did"), F.col(text_col).alias("t"))
+    return (
+        cand.join(t.select(F.col("did").alias("inner"), F.col("t").alias("t_in")), "inner")
+        .join(t.select(F.col("did").alias("outer"), F.col("t").alias("t_out")), "outer")
+        .where(
+            (F.length("t_in") < F.length("t_out"))
+            & F.col("t_out").contains(F.col("t_in"))
+        )
+        .select("inner", "outer")
+    )
+
+
+def substring_pairs(
+    df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CDC candidates + exact verify -> (inner, outer) containment pairs."""
+    chunks = cdc_chunks(df, cfg, id_col, text_col)
+    cand = containment_candidates(chunks, cfg)
+    return verify_containment(cand, df, id_col, text_col)
+
+
+def substring_pairs_within_partitions(
+    df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_cols: list | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Per-partition exhaustive suffix-array pass (path 2).
+
+    Groups by explicit columns (e.g. repo/lang) or a hashed partition id and
+    finds all intra-group containments via one suffix structure per group.
+    """
+    if partition_cols:
+        part = F.abs(F.hash(*partition_cols))
+    else:
+        part = F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_partitions or 32))
+    g = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("text"),
+        part.alias("part_id"),
+    )
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        texts = pdf["text"].fillna("").tolist()
+        ids = pdf["doc_id"].tolist()
+        pairs = K.find_containments(texts, min_len=1)
+        return pd.DataFrame(
+            {
+                "inner": pd.Series([ids[i] for i, _ in pairs], dtype="int64"),
+                "outer": pd.Series([ids[j] for _, j in pairs], dtype="int64"),
+            }
+        )
+
+    return g.groupBy("part_id").applyInPandas(per_group, schema="inner long, outer long")

@@ -1,0 +1,175 @@
+"""End-to-end dedup pipeline: files -> docs -> signatures -> buckets ->
+candidate pairs -> verified dup pairs -> clusters, with stage-boundary
+checkpoints, per-stage lineage metrics, and resume.
+
+Checkpoint/resume maps the reference's model-cache persistence (S5 in
+SURVEY.md §2.1 — ``impls/lsh_functor/itq.py:212-237``, ``impls/nn_index/
+faiss.py:398-484``): each stage writes a parquet table next to a JSON
+config sidecar; a rerun with the same ``config_hash`` skips completed
+stages (north rule: "resumable from Iceberg-snapshot checkpoints" — plain
+parquet locally, identical DataFrame code against Iceberg tables on a
+cluster, where each stage write is a snapshot).
+
+Lineage rows make the reference's ProgressReporter rates
+(``utils/progress_reporter.py:105-121``) durable: one row per stage with
+row counts, wall time, partition count, and the config hash.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from smqtk_indexing_spark.config import DedupConfig
+from smqtk_indexing_spark.operators import dedup as X
+from smqtk_indexing_spark.operators.candidates import band_buckets, candidate_pairs
+from smqtk_indexing_spark.operators.cluster import connected_components
+from smqtk_indexing_spark.operators.signatures import compute_signatures
+from smqtk_indexing_spark.operators.substrings import substring_pairs
+from smqtk_indexing_spark.operators.verify import verify_pairs
+
+LINEAGE_SCHEMA = (
+    "stage string, rows_out long, n_partitions int, wall_ms long, "
+    "config_hash string, resumed boolean"
+)
+
+
+@dataclass
+class PipelineResult:
+    tables: dict = field(default_factory=dict)
+    lineage: list = field(default_factory=list)
+
+    def lineage_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(self.lineage, schema=LINEAGE_SCHEMA)
+
+
+class Checkpointer:
+    """Stage-boundary persistence + resume."""
+
+    def __init__(self, spark: SparkSession, out_dir: str | None, cfg: DedupConfig):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.cfg = cfg
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            cfg_path = os.path.join(out_dir, "config.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    prior = json.load(f)
+                if prior.get("config_hash") != cfg.config_hash:
+                    raise ValueError(
+                        "checkpoint dir was written under a different config "
+                        f"({prior.get('config_hash')} != {cfg.config_hash}); "
+                        "refusing to mix signatures across configs"
+                    )
+            else:
+                with open(cfg_path, "w") as f:
+                    json.dump(
+                        {"config_hash": cfg.config_hash, "config": cfg.to_json()}, f
+                    )
+
+    def _path(self, stage: str) -> str | None:
+        return os.path.join(self.out_dir, stage) if self.out_dir else None
+
+    def _complete(self, stage: str) -> bool:
+        p = self._path(stage)
+        return bool(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    def run(self, stage: str, build, result: PipelineResult) -> DataFrame:
+        """Materialize a stage: resume from parquet if complete, else build,
+        write, and record lineage."""
+        t0 = time.time()
+        if self._complete(stage):
+            df = self.spark.read.parquet(self._path(stage))
+            result.lineage.append(
+                (stage, df.count(), df.rdd.getNumPartitions(),
+                 int((time.time() - t0) * 1000), self.cfg.config_hash, True)
+            )
+            result.tables[stage] = df
+            return df
+        df = build()
+        if self.out_dir:
+            df.write.mode("overwrite").parquet(self._path(stage))
+            df = self.spark.read.parquet(self._path(stage))
+        else:
+            df = df.localCheckpoint(eager=True)
+        result.lineage.append(
+            (stage, df.count(), df.rdd.getNumPartitions(),
+             int((time.time() - t0) * 1000), self.cfg.config_hash, False)
+        )
+        result.tables[stage] = df
+        return df
+
+
+def run_dedup(
+    spark: SparkSession,
+    files: DataFrame,
+    cfg: DedupConfig | None = None,
+    out_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    include_substrings: bool = False,
+) -> PipelineResult:
+    """The flagship plan (SURVEY.md §3.2 Spark translation).
+
+    1. docs: sha256 + exact-dup collapse to representatives (skew fast path)
+    2. signatures: one vectorized pass over representatives only
+    3. buckets -> candidate pairs (salted skew handling)
+    4. exact-Jaccard verification at cfg.tau
+    5. optional CDC substring pass
+    6. connected components over (rep dup pairs) ∪ (exact-dup member edges)
+       -> cluster map over ALL doc_ids, cluster_id = min(doc_id).
+    """
+    cfg = cfg or DedupConfig()
+    ck = Checkpointer(spark, out_dir, cfg)
+    res = PipelineResult()
+
+    base = files.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    member_map = ck.run(
+        "member_map", lambda: X.representatives(base)[1], res
+    )
+    reps_ids = member_map.where(F.col("doc_id") == F.col("rep_id")).select("doc_id")
+    reps = base.join(reps_ids, "doc_id", "left_semi")
+
+    sigs = ck.run("signatures", lambda: compute_signatures(reps, cfg), res)
+
+    pairs = ck.run(
+        "dup_pairs",
+        lambda: verify_pairs(
+            candidate_pairs(band_buckets(sigs, cfg), cfg), sigs, cfg
+        ),
+        res,
+    )
+
+    if include_substrings:
+        sub = ck.run(
+            "substr_pairs",
+            lambda: substring_pairs(reps, cfg, id_col="doc_id", text_col="text"),
+            res,
+        )
+
+    def build_clusters() -> DataFrame:
+        edges = pairs.select("a", "b")
+        exact_edges = member_map.where(F.col("doc_id") != F.col("rep_id")).select(
+            F.col("doc_id").alias("a"), F.col("rep_id").alias("b")
+        )
+        if include_substrings:
+            edges = edges.unionByName(
+                res.tables["substr_pairs"].select(
+                    F.col("inner").alias("a"), F.col("outer").alias("b")
+                )
+            )
+        all_edges = edges.unionByName(exact_edges)
+        nodes = member_map.select("doc_id")
+        return connected_components(all_edges, nodes=nodes)
+
+    ck.run("clusters", build_clusters, res)
+    return res
