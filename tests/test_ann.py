@@ -1,0 +1,91 @@
+"""ANN operator tests: brute-force top-k vs numpy truth; RP-LSH recall;
+Hamming scan semantics (linear.py:206-244 analog)."""
+
+import numpy as np
+import pytest
+
+from smqtk_indexing_spark import kernels as K
+from smqtk_indexing_spark.operators import ann
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((60, 16)).astype(np.float32)
+    rows = [(i, vecs[i].tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, vecs
+
+
+def _numpy_topk(vecs, score_fn, k, largest):
+    out = {}
+    n = len(vecs)
+    for q in range(n):
+        scored = sorted(
+            ((score_fn(vecs[q], vecs[j]), j) for j in range(n) if j != q),
+            key=lambda t: (-t[0], t[1]) if largest else (t[0], t[1]),
+        )
+        out[q] = [j for _, j in scored[:k]]
+    return out
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    df, vecs = emb
+    got = {}
+    for r in ann.cosine_topk(df, k=3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    want = _numpy_topk(vecs, K.cosine_similarity, 3, largest=True)
+    for q, lst in got.items():
+        assert [n for _, n in sorted(lst)] == want[q]
+
+
+def test_euclidean_topk_matches_numpy(spark, emb):
+    df, vecs = emb
+    got = {}
+    for r in ann.euclidean_topk(df, k=3).collect():
+        got.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    want = _numpy_topk(vecs, K.euclidean_distance, 3, largest=False)
+    for q, lst in got.items():
+        assert [n for _, n in sorted(lst)] == want[q]
+
+
+def test_rp_signatures_deterministic_and_kernel_parity(spark, emb):
+    df, vecs = emb
+    sigs = {r.vec_id: r.rp_sig for r in ann.rp_signatures(df, seed=42).collect()}
+    rps = K.rp_fit(16, 64, 42)
+    expected = K.bits_to_int64(K.rp_hash(vecs.astype(np.float64), rps))
+    for i in range(60):
+        assert sigs[i] == expected[i]
+
+
+def test_hamming_topk_self_similarity(spark, emb):
+    df, _ = emb
+    sigs = ann.rp_signatures(df, seed=42)
+    rows = ann.hamming_topk(sigs, k=2).collect()
+    assert all(0.0 <= r.score <= 1.0 for r in rows)  # normalized (linear.py:241-243)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 2 for v in by_q.values())
+
+
+def test_rp_lsh_topk_recall_planted_neighbors(spark):
+    # reference pattern: perturbed query must return its source
+    # (tests/impls/nn_index/test_lsh.py:790-802). Uniform gaussian vectors
+    # have no near neighbors (all angles ~90deg), so plant them.
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((30, 16))
+    pert = base + 0.05 * rng.standard_normal((30, 16))
+    vecs = np.vstack([base, pert]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.query_id: r.neighbor_id
+        for r in ann.rp_lsh_topk(df, k=1).collect()
+        if r.rank == 1
+    }
+    hits = sum(1 for i in range(30) if got.get(i) == i + 30)
+    hits += sum(1 for i in range(30) if got.get(i + 30) == i)
+    assert hits >= 0.9 * 60, f"planted-neighbor recall too low: {hits}/60"

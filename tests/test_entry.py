@@ -1,0 +1,59 @@
+"""Driver-contract smoke tests: entry() runs, queries()/oracle_sql() keys
+line up, a fast subset of queries matches DuckDB at sf0.001."""
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as E
+
+FAST_ORACLE_QUERIES = [
+    "sha256_rows",
+    "exact_dup_groups",
+    "token_stats",
+    "quality_scores",
+    "lang_id",
+    "index_counts",
+    "multimodal_features",
+]
+
+
+def test_entry_returns_rows(spark):
+    df = E.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"a", "b", "jaccard"}
+
+
+def test_oracle_keys_subset_of_queries():
+    qs = E.queries()
+    os_ = E.oracle_sql()
+    assert set(os_) <= set(qs)
+    # the hash-dependent ones are intentionally rows-only
+    assert "minhash_signatures" in qs and "minhash_signatures" not in os_
+
+
+@pytest.mark.parametrize("name", FAST_ORACLE_QUERIES)
+def test_fast_queries_match_duckdb_sf0001(spark, name, sf001_dir):
+    import math
+
+    df = E.queries()[name](spark, sf001_dir)
+    cols = [c.lower() for c in df.columns]
+    rows = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    for t in ["documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf001_dir}/{t}.parquet'")
+    res = con.execute(E.oracle_sql()[name])
+    ocols = [d[0].lower() for d in res.description]
+    orows = res.fetchall()
+
+    def norm(cs, rs):
+        idx = sorted(range(len(cs)), key=lambda i: cs[i])
+        def cell(v):
+            return f"{v:.9g}" if isinstance(v, float) and not math.isnan(v) else str(v)
+        return sorted(tuple(cell(r[i]) for i in idx) for r in rs)
+
+    assert sorted(cols) == sorted(ocols)
+    assert norm(cols, rows) == norm(ocols, orows)

@@ -1,0 +1,41 @@
+"""Multimodal binary-asset plumbing: schema, determinism, stub contract."""
+
+import numpy as np
+import pytest
+
+from smqtk_indexing_spark.operators.multimodal import extract_features, to_assets
+
+
+@pytest.fixture(scope="module")
+def assets(spark):
+    rows = [(1, "hello world"), (2, ""), (3, "abc" * 100)]
+    df = spark.createDataFrame(rows, "doc_id long, payload string")
+    return to_assets(df, "doc_id", "payload", "image")
+
+
+def test_asset_schema(assets):
+    assert dict(assets.dtypes) == {
+        "asset_id": "bigint",
+        "kind": "string",
+        "data": "binary",
+        "meta": "map<string,string>",
+    }
+
+
+def test_fake_decode_features(assets):
+    rows = {r.asset_id: r for r in extract_features(assets, decode="fake").collect()}
+    assert rows[1].n_bytes == 11
+    assert len(rows[1].feature) == 256
+    # normalized histogram sums to ~1 for non-empty payloads
+    assert abs(sum(rows[1].feature) - 1.0) < 1e-5
+    assert rows[2].n_bytes == 0 and sum(rows[2].feature) == 0.0
+    # deterministic
+    again = {r.asset_id: r for r in extract_features(assets, decode="fake").collect()}
+    assert rows[3].feature == again[3].feature
+
+
+def test_real_decode_is_stubbed(assets):
+    with pytest.raises(Exception):
+        extract_features(assets, decode="real").collect()
+    with pytest.raises(ValueError):
+        extract_features(assets, decode="nope")

@@ -1,0 +1,63 @@
+"""Substring-containment operators: CDC anchor join + per-partition
+suffix-array pass, against a brute-force truth."""
+
+import pytest
+
+from smqtk_indexing_spark.config import DedupConfig
+from smqtk_indexing_spark.operators.substrings import (
+    substring_pairs,
+    substring_pairs_within_partitions,
+)
+from smqtk_indexing_spark.sources.files import synth_files
+
+CFG = DedupConfig()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    files, _truth = synth_files(n=400, seed=7)
+    df = (
+        spark.createDataFrame(files)
+        .select("doc_id", "content")
+        .withColumnRenamed("content", "text")
+    )
+    brute = {
+        (int(a.doc_id), int(b.doc_id))
+        for a in files.itertuples()
+        for b in files.itertuples()
+        if a.doc_id != b.doc_id
+        and len(a.content) < len(b.content)
+        and a.content in b.content
+    }
+    return df, brute
+
+
+def test_cdc_substring_recall(spark, corpus):
+    df, brute = corpus
+    got = {(r.inner, r.outer) for r in substring_pairs(df, CFG).collect()}
+    # exact verification -> no false positives
+    assert got <= brute
+    # recall >= 0.99 for containees above the floor
+    long_enough = {
+        (a, b) for (a, b) in brute
+    }
+    missed = brute - got
+    assert len(got) >= 0.99 * len(brute), f"missed {len(missed)}/{len(brute)}"
+
+
+def test_suffix_array_pass_exhaustive_single_partition(spark, corpus):
+    df, brute = corpus
+    got = {
+        (r.inner, r.outer)
+        for r in substring_pairs_within_partitions(df, CFG, num_partitions=1).collect()
+    }
+    assert got == brute
+
+
+def test_suffix_array_pass_partitioned_subset(spark, corpus):
+    df, brute = corpus
+    got = {
+        (r.inner, r.outer)
+        for r in substring_pairs_within_partitions(df, CFG, num_partitions=6).collect()
+    }
+    assert got <= brute
