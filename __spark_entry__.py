@@ -38,12 +38,19 @@ TOPK = 5
 # loaders
 # ---------------------------------------------------------------------------
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    # testdata parquet is a single small file -> one input split; spread it
+    # across the executor cores so mapInPandas/crossJoin stages parallelize
+    # (a real corpus has many files/row-groups and needs no repartition).
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -69,7 +76,7 @@ def _bruteforce_pairs(spark, sf_dir):
     a = d.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
     b = d.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .where(F.col("a") < F.col("b"))
         .withColumn("jaccard", M.jaccard_arrays("sh_a", "sh_b"))
         .where(F.col("jaccard") >= F.lit(TAU))
@@ -171,7 +178,7 @@ def q_simhash_hamming_pairs(spark, sf_dir):
     a = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
     b = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
     return (
-        a.crossJoin(b)
+        a.crossJoin(F.broadcast(b))
         .where(F.col("a") < F.col("b"))
         .withColumn("hamming", M.hamming64("ha", "hb"))
         .where(F.col("hamming") <= CFG.simhash_hamming_max)

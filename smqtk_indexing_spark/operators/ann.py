@@ -44,15 +44,33 @@ def _ranked(
 def _self_pairs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     a = emb.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("vb"))
-    return a.crossJoin(b).where(F.col("query_id") != F.col("neighbor_id"))
+    # broadcast the corpus side: the scan parallelizes over the query side's
+    # partitions instead of a (n_part x n_part) cartesian
+    return a.crossJoin(F.broadcast(b)).where(
+        F.col("query_id") != F.col("neighbor_id")
+    )
 
 
 def cosine_topk(
     emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Brute-force all-pairs cosine top-k (descending similarity)."""
-    p = _self_pairs(emb, id_col, vec_col)
-    return _ranked(p, M.cosine_similarity("va", "vb"), k, ascending=False)
+    """Brute-force all-pairs cosine top-k (descending similarity).
+
+    Norms are computed once per row *before* the join (n work instead of
+    n^2), so the per-pair expression is just the dot product."""
+    a = emb.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("va"),
+        M.l2_norm(vec_col).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("vb"),
+        M.l2_norm(vec_col).alias("nb"),
+    )
+    p = a.crossJoin(F.broadcast(b)).where(F.col("query_id") != F.col("neighbor_id"))
+    score = M.dot("va", "vb") / (F.col("na") * F.col("nb"))
+    return _ranked(p, score, k, ascending=False)
 
 
 def euclidean_topk(
@@ -111,7 +129,7 @@ def hamming_topk(sigs: DataFrame, k: int = 5) -> DataFrame:
     ``linear.py:241-243``."""
     a = sigs.select(F.col("vec_id").alias("query_id"), F.col("rp_sig").alias("sa"))
     b = sigs.select(F.col("vec_id").alias("neighbor_id"), F.col("rp_sig").alias("sb"))
-    p = a.crossJoin(b).where(F.col("query_id") != F.col("neighbor_id"))
+    p = a.crossJoin(F.broadcast(b)).where(F.col("query_id") != F.col("neighbor_id"))
     dist = M.hamming64("sa", "sb").cast("double") / F.lit(64.0)
     return _ranked(p, dist, k, ascending=True)
 

@@ -73,18 +73,24 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    def _sig(df: DataFrame) -> tuple:
+        # one-action convergence fingerprint: (count, wrapped hash sum)
+        row = df.agg(
+            F.count("*").alias("c"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),  # overflow-free fold
+        ).collect()[0]
+        return (row.c, row.h)
+
+    sig = _sig(e)
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
-        changed = (
-            e2.count() != e.count()
-            or not e2.exceptAll(e).isEmpty()
-        )
+        sig2 = _sig(e2)
         old = e
         e = e2
-        if not changed:
-            old.unpersist()
-            break
         old.unpersist()
+        if sig2 == sig:
+            break
+        sig = sig2
     assign = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
     roots = e.select(F.col("v").alias("doc_id")).distinct().withColumn(
         "cluster_id", F.col("doc_id")
