@@ -78,6 +78,11 @@ def dedup_files_per_sec(master: str, cpus: int, n_files: int, seed: int = 42) ->
         df = spark.createDataFrame(files).repartition(cpus * 2).cache()
         df.count()  # materialize input outside the timed window
         cfg = DedupConfig(shuffle_partitions=max(8, cpus))
+        # warm-up: spin up the JVM stages + python worker pool on a slice so
+        # the timed window measures steady-state throughput, not process
+        # start-up (a long-lived cluster is always warm)
+        warm, _ = synth_files(n=500, seed=seed + 1)
+        run_dedup(spark, spark.createDataFrame(warm), cfg)
         t0 = time.time()
         res = run_dedup(spark, df, cfg)
         n_clusters = res.tables["clusters"].select("cluster_id").distinct().count()

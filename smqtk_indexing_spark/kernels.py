@@ -49,9 +49,24 @@ def hash_str64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
-def hash_strs64(strings) -> np.ndarray:
-    """Vector of stable 64-bit hashes; loops only over *unique* strings."""
-    return np.fromiter((hash_str64(s) for s in strings), dtype=U64, count=len(strings))
+def hash_strs64(strings, cache: dict | None = None) -> np.ndarray:
+    """Vector of stable 64-bit hashes. With a ``cache`` dict (shared across
+    documents in a task), each unique token is blake2b-hashed exactly once —
+    real corpora have heavy-tailed vocabularies, so this removes almost all
+    of the per-token Python cost."""
+    if cache is None:
+        return np.fromiter(
+            (hash_str64(s) for s in strings), dtype=U64, count=len(strings)
+        )
+    get = cache.get
+    out = np.empty(len(strings), dtype=U64)
+    for i, s in enumerate(strings):
+        h = get(s)
+        if h is None:
+            h = hash_str64(s)
+            cache[s] = h
+        out[i] = h
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -85,11 +100,13 @@ def shingle_hashes(token_ids: np.ndarray, k: int) -> np.ndarray:
     return np.unique(mix64(acc))
 
 
-def text_shingles(text: str, k: int, lowercase: bool = False) -> np.ndarray:
+def text_shingles(
+    text: str, k: int, lowercase: bool = False, cache: dict | None = None
+) -> np.ndarray:
     toks = tokenize(text, lowercase)
     if not toks:
         return np.empty(0, dtype=U64)
-    return shingle_hashes(hash_strs64(toks), k)
+    return shingle_hashes(hash_strs64(toks, cache), k)
 
 
 # ---------------------------------------------------------------------------
@@ -343,6 +360,10 @@ def itq_fit(
     PCA to ``bits`` dims, then a 50-iteration Procrustes rotation refinement
     (``itq.py:239-289``). Returns (mean, rotation[(d, bits)])."""
     x = np.asarray(x, dtype=np.float64)
+    if bits > x.shape[1]:
+        raise ValueError(
+            f"itq_fit: bit_length {bits} exceeds descriptor dim {x.shape[1]}"
+        )
     if normalize is not None:
         x = norm_vectors(x, normalize)
     mean = x.mean(axis=0)

@@ -66,35 +66,26 @@ def candidate_pairs(
         .agg(F.count("*").alias("sz"))
         .where((F.col("sz") > 1) & (F.col("sz") <= cfg.bucket_cap))
     )
-    m = buckets.join(sizes, "band_hash")  # members of pair-producing buckets
-
-    # --- normal path: plain self-equi-join (AQE splits residual skew) ---
-    small = m.where(F.col("sz") <= salt_threshold).select("band_hash", "doc_id")
-    x = small.alias("x")
-    y = small.alias("y")
-    pairs_small = (
-        x.join(y, "band_hash")
-        .where(F.col("x.doc_id") < F.col("y.doc_id"))
-        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
-    )
-
-    # --- salted path: block-stripe giant buckets, enumerate block pairs ---
-    big = (
-        m.where(F.col("sz") > salt_threshold)
-        .withColumn(
-            "nb", F.ceil(F.col("sz") / F.lit(salt_threshold)).cast("int")
-        )
+    # ONE unified salted path: nb = ceil(sz / threshold) blocks per bucket.
+    # Normal buckets get nb=1 (blk=0, no row replication — degenerates to a
+    # plain self-equi-join on (band_hash, 0)); giant buckets stripe into
+    # blocks so one hot key's O(m^2) pair work spreads over O(nb^2/2)
+    # independent join tasks. Single code path = the bucket table shuffles
+    # once per side instead of twice.
+    m = (
+        buckets.join(sizes, "band_hash")
+        .withColumn("nb", F.ceil(F.col("sz") / F.lit(salt_threshold)).cast("int"))
         .withColumn("blk", F.pmod(F.xxhash64("doc_id"), F.col("nb")).cast("int"))
     )
-    left = big.withColumn(
+    left = m.withColumn(
         "jb", F.explode(F.sequence(F.col("blk"), F.col("nb") - 1))
     ).select("band_hash", F.col("doc_id").alias("ld"), F.col("blk").alias("lb"), "jb")
-    right = big.select(
+    right = m.select(
         F.col("band_hash").alias("bh_r"),
         F.col("doc_id").alias("rd"),
         F.col("blk").alias("rb"),
     )
-    pairs_big = (
+    pairs = (
         left.join(
             right,
             (F.col("band_hash") == F.col("bh_r")) & (F.col("jb") == F.col("rb")),
@@ -103,9 +94,6 @@ def candidate_pairs(
             (F.col("lb") < F.col("rb"))
             | ((F.col("lb") == F.col("rb")) & (F.col("ld") < F.col("rd")))
         )
-        .select(
-            F.least("ld", "rd").alias("a"), F.greatest("ld", "rd").alias("b")
-        )
+        .select(F.least("ld", "rd").alias("a"), F.greatest("ld", "rd").alias("b"))
     )
-
-    return pairs_small.unionByName(pairs_big).distinct()
+    return pairs.distinct()

@@ -1,0 +1,91 @@
+"""ITQ functor as a Spark train/apply operator pair.
+
+Reference: ``ItqFunctor.fit`` (``/root/reference/smqtk_indexing/impls/
+lsh_functor/itq.py:291-387``) and ``get_hash`` (``itq.py:389-408``). The fit
+is a train-stage job: sample descriptor rows, collect the (small) sample to
+the driver, run the published ITQ algorithm in numpy (kernels.itq_fit — PCA
++ Procrustes rotation refinement, ``itq.py:239-289``), and ship the tiny
+(mean, rotation) model to executors. ``bit_length <= 64`` keeps the model a
+few KB — exactly the reference's own scale assumption (``itq.py:71-78``:
+"256 bits is already large").
+
+Apply is one Arrow-batched pass: sign((x - mean) @ R) packed MSB-first into
+a LongType code (``utils/bits.py:4-20`` convention via kernels.bits_to_int64).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from smqtk_indexing_spark import kernels as K
+
+
+class ItqModel:
+    """Broadcast-able (mean, rotation) model."""
+
+    def __init__(self, mean: np.ndarray, rotation: np.ndarray, normalize=None):
+        self.mean = mean
+        self.rotation = rotation
+        self.normalize = normalize
+
+    @property
+    def bits(self) -> int:
+        return self.rotation.shape[1]
+
+
+def itq_fit(
+    emb: DataFrame,
+    bits: int = 64,
+    n_iter: int = 50,
+    seed: int = 0,
+    sample_fraction: float = 1.0,
+    max_sample: int = 100_000,
+    vec_col: str = "embedding",
+    normalize=None,
+) -> ItqModel:
+    """Train: sample -> driver numpy -> model. The sample bound keeps the
+    driver matrix small regardless of corpus size (the reference trains on
+    whatever iterable it is handed; we make the subsample explicit)."""
+    s = emb.select(vec_col)
+    if sample_fraction < 1.0:
+        s = s.sample(fraction=sample_fraction, seed=seed)
+    rows = s.limit(max_sample).collect()
+    if not rows:
+        raise ValueError("itq_fit: empty training input")
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    mean, rot = K.itq_fit(x, bits=bits, n_iter=n_iter, seed=seed, normalize=normalize)
+    return ItqModel(mean, rot, normalize)
+
+
+def itq_hash_codes(
+    emb: DataFrame,
+    model: ItqModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply: (id, vector) -> (id, itq_code long). One matmul per batch."""
+    spark = emb.sparkSession
+    b_model = spark.sparkContext.broadcast(
+        (model.mean, model.rotation, model.normalize)
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mean, rot, norm = b_model.value
+        for pdf in batches:
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            bitsmat = K.itq_hash(x, mean, rot, normalize=norm)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "itq_code": K.bits_to_int64(bitsmat),
+                }
+            )
+
+    return emb.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+    ).mapInPandas(gen, schema="vec_id long, itq_code long")

@@ -51,17 +51,23 @@ def compute_signatures(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = K.make_minhash_perms(num_perm, seed)  # rebuilt per task: tiny
+        token_cache: dict = {}  # unique-token hash cache, shared across docs
         for pdf in batches:
+            if len(token_cache) > 2_000_000:  # bound task memory at scale
+                token_cache.clear()
             ids = pdf[id_col].to_numpy()
             texts = pdf[text_col].tolist()
+            token_lists = [
+                K.tokenize(t if t is not None else "", lowercase) for t in texts
+            ]
             shingle_sets = [
-                K.text_shingles(t if t is not None else "", shingle_k, lowercase)
-                for t in texts
+                K.shingle_hashes(K.hash_strs64(toks, token_cache), shingle_k)
+                if toks
+                else np.empty(0, dtype=np.uint64)
+                for toks in token_lists
             ]
             n_tokens = np.fromiter(
-                (len(K.tokenize(t if t is not None else "", lowercase)) for t in texts),
-                dtype=np.int32,
-                count=len(texts),
+                (len(t) for t in token_lists), dtype=np.int32, count=len(texts)
             )
             sigs = K.minhash_batch(shingle_sets, a, b)  # (n, num_perm) uint64
             sims = K.simhash_batch(shingle_sets).view(np.int64)
