@@ -26,7 +26,9 @@ from smqtk_indexing_spark import kernels as K
 
 
 class ItqModel:
-    """Broadcast-able (mean, rotation) model."""
+    """Broadcast-able (mean, rotation) model, persistable as an .npz
+    sidecar — the reference's model-cache bytes contract (S5:
+    ``itq.py:212-237`` uses np.save/np.load byte blobs)."""
 
     def __init__(self, mean: np.ndarray, rotation: np.ndarray, normalize=None):
         self.mean = mean
@@ -36,6 +38,20 @@ class ItqModel:
     @property
     def bits(self) -> int:
         return self.rotation.shape[1]
+
+    def save(self, path: str) -> None:
+        np.savez(
+            path,
+            mean=self.mean,
+            rotation=self.rotation,
+            normalize=np.array(-1 if self.normalize is None else self.normalize),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ItqModel":
+        z = np.load(path if path.endswith(".npz") else path + ".npz")
+        norm = float(z["normalize"])
+        return cls(z["mean"], z["rotation"], None if norm < 0 else norm)
 
 
 def itq_fit(

@@ -29,12 +29,15 @@ SIGNATURE_SCHEMA = (
     "shingles array<long>, minhash array<long>, simhash long, bands array<long>"
 )
 
+ALL_COLUMNS = ("shingles", "minhash", "simhash", "bands")
+
 
 def compute_signatures(
     df: DataFrame,
     cfg: DedupConfig,
     id_col: str = "doc_id",
     text_col: str = "text",
+    include: tuple = ALL_COLUMNS,
 ) -> DataFrame:
     """One pass over (id, text) -> full signature set per document.
 
@@ -43,11 +46,30 @@ def compute_signatures(
     the analog of the reference's empty-input guard
     (``utils/iter_validation.py:8-28``), degraded per-row instead of failing
     the job.
+
+    ``include`` selects the heavy optional columns. The scale pipeline
+    carries only ("bands", "simhash") through its signature table (a few
+    hundred bytes/doc) and fetches shingle arrays later for candidate docs
+    only — Arrow-serializing every doc's full shingle set would dominate
+    the stage at corpus scale.
     """
     shingle_k = cfg.shingle_k
     lowercase = cfg.lowercase
     num_perm, seed = cfg.num_perm, cfg.seed
     bands, rows_per_band = cfg.bands, cfg.rows_per_band
+    inc_sh = "shingles" in include
+    inc_mh = "minhash" in include
+    inc_sim = "simhash" in include
+    inc_bands = "bands" in include
+    schema = "doc_id long, n_tokens int, n_shingles int"
+    if inc_sh:
+        schema += ", shingles array<long>"
+    if inc_mh:
+        schema += ", minhash array<long>"
+    if inc_sim:
+        schema += ", simhash long"
+    if inc_bands:
+        schema += ", bands array<long>"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = K.make_minhash_perms(num_perm, seed)  # rebuilt per task: tiny
@@ -69,26 +91,43 @@ def compute_signatures(
             n_tokens = np.fromiter(
                 (len(t) for t in token_lists), dtype=np.int32, count=len(texts)
             )
-            sigs = K.minhash_batch(shingle_sets, a, b)  # (n, num_perm) uint64
-            sims = K.simhash_batch(shingle_sets).view(np.int64)
-            bkeys = K.band_keys_batch(sigs, bands, rows_per_band)  # (n, bands)
-            sig64 = sigs.view(np.int64)
-            out = pd.DataFrame(
-                {
-                    "doc_id": ids,
-                    "n_tokens": n_tokens,
-                    "n_shingles": [int(s.size) for s in shingle_sets],
-                    "shingles": [s.view(np.int64).tolist() for s in shingle_sets],
-                    "minhash": [row.tolist() for row in sig64],
-                    "simhash": sims,
-                    "bands": [
+            cols = {
+                "doc_id": ids,
+                "n_tokens": n_tokens,
+                "n_shingles": [int(s.size) for s in shingle_sets],
+            }
+            if inc_sh:
+                cols["shingles"] = [
+                    s.view(np.int64).tolist() for s in shingle_sets
+                ]
+            if inc_mh or inc_bands:
+                sigs = K.minhash_batch(shingle_sets, a, b)  # (n, num_perm) u64
+                if inc_mh:
+                    cols["minhash"] = [r.tolist() for r in sigs.view(np.int64)]
+                if inc_bands:
+                    bkeys = K.band_keys_batch(sigs, bands, rows_per_band)
+                    cols["bands"] = [
                         row.tolist() if shingle_sets[i].size > 0 else []
                         for i, row in enumerate(bkeys)
-                    ],
-                }
-            )
-            yield out
+                    ]
+            if inc_sim:
+                cols["simhash"] = K.simhash_batch(shingle_sets).view(np.int64)
+            yield pd.DataFrame(cols)
 
     return df.select(
         F.col(id_col).cast("long").alias(id_col), F.col(text_col)
-    ).mapInPandas(gen, schema=SIGNATURE_SCHEMA)
+    ).mapInPandas(gen, schema=schema)
+
+
+def compute_shingle_arrays(
+    df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, text) -> (doc_id, shingles) only — the verification-side
+    descriptor fetch, run over candidate documents rather than the corpus
+    (J2 in SURVEY.md §2.4: ``get_many_descriptors``, lsh.py:499-501)."""
+    return compute_signatures(
+        df, cfg, id_col=id_col, text_col=text_col, include=("shingles",)
+    ).select("doc_id", "shingles")

@@ -29,7 +29,10 @@ from smqtk_indexing_spark.config import DedupConfig
 from smqtk_indexing_spark.operators import dedup as X
 from smqtk_indexing_spark.operators.candidates import band_buckets, candidate_pairs
 from smqtk_indexing_spark.operators.cluster import connected_components
-from smqtk_indexing_spark.operators.signatures import compute_signatures
+from smqtk_indexing_spark.operators.signatures import (
+    compute_shingle_arrays,
+    compute_signatures,
+)
 from smqtk_indexing_spark.operators.substrings import substring_pairs
 from smqtk_indexing_spark.operators.verify import verify_pairs
 
@@ -139,15 +142,32 @@ def run_dedup(
     reps_ids = member_map.where(F.col("doc_id") == F.col("rep_id")).select("doc_id")
     reps = base.join(reps_ids, "doc_id", "left_semi")
 
-    sigs = ck.run("signatures", lambda: compute_signatures(reps, cfg), res)
-
-    pairs = ck.run(
-        "dup_pairs",
-        lambda: verify_pairs(
-            candidate_pairs(band_buckets(sigs, cfg), cfg), sigs, cfg
-        ),
+    # lean signature table: bands + simhash only (~300 B/doc); shingle
+    # arrays are fetched later for candidate docs only — serializing every
+    # doc's shingle set through the checkpoint would dominate at scale
+    sigs = ck.run(
+        "signatures",
+        lambda: compute_signatures(reps, cfg, include=("simhash", "bands")),
         res,
     )
+
+    cand = ck.run(
+        "cand_pairs",
+        lambda: candidate_pairs(band_buckets(sigs, cfg), cfg),
+        res,
+    )
+
+    def build_dup_pairs() -> DataFrame:
+        cand_ids = (
+            cand.select(F.col("a").alias("doc_id"))
+            .unionAll(cand.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        cand_docs = base.join(cand_ids, "doc_id", "left_semi")
+        shingle_df = compute_shingle_arrays(cand_docs, cfg)
+        return verify_pairs(cand, shingle_df, cfg)
+
+    pairs = ck.run("dup_pairs", build_dup_pairs, res)
 
     if include_substrings:
         sub = ck.run(

@@ -32,6 +32,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
+        # shuffle/spill to tmpfs in this sandbox (a real cluster has local
+        # NVMe for this); avoids rotating-disk I/O variance in local mode
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

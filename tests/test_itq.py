@@ -44,6 +44,23 @@ def test_itq_bits_exceed_dim_raises(spark, emb):
         itq_fit(df, bits=64, seed=5)  # dim is 16
 
 
+def test_itq_model_save_load_roundtrip(spark, emb, tmp_path):
+    # persistence round-trip (reference pattern: test_itq.py:272-302)
+    df, _ = emb
+    model = itq_fit(df, bits=16, seed=5)
+    p = str(tmp_path / "itq_model.npz")
+    model.save(p)
+    from smqtk_indexing_spark.operators.itq import ItqModel
+
+    loaded = ItqModel.load(p)
+    np.testing.assert_array_equal(loaded.mean, model.mean)
+    np.testing.assert_array_equal(loaded.rotation, model.rotation)
+    assert loaded.normalize is None
+    c1 = {r.vec_id: r.itq_code for r in itq_hash_codes(df, model).collect()}
+    c2 = {r.vec_id: r.itq_code for r in itq_hash_codes(df, loaded).collect()}
+    assert c1 == c2
+
+
 def test_itq_empty_input_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
