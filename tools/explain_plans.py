@@ -1,0 +1,52 @@
+"""Capture physical plans of the headline queries into PLANS.md.
+
+Checks the plans are the ones we want at scale: parquet scans show pruned
+ReadSchema, brute-force scans broadcast the corpus side, LSH joins are
+hash-partitioned equi-joins, and expression work sits inside
+WholeStageCodegen spans.
+
+Usage: python tools/explain_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import io
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+QUERIES = [
+    "sha256_rows",
+    "exact_dup_groups",
+    "near_dup_pairs_lsh",
+    "dup_clusters",
+    "substring_containment",
+    "ann_cosine_topk",
+    "ann_rp_lsh_topk",
+    "token_stats",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import __spark_entry__ as E
+    from smqtk_indexing_spark.session import get_spark
+
+    spark = get_spark(app_name="explain", master="local[4]")
+    qs = E.queries()
+    out = ["# PLANS — physical plans of headline queries (sf0.01)\n"]
+    for name in QUERIES:
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        out.append(f"\n## {name}\n\n```\n{plan}\n```\n")
+    with open("PLANS.md", "w") as f:
+        f.write("".join(out))
+    print("wrote PLANS.md")
+
+
+if __name__ == "__main__":
+    main()
