@@ -154,7 +154,7 @@ def main() -> None:
         # the identical input (and a parquet scan parallelizes like a real
         # corpus would, unlike a driver-local createDataFrame)
         input_path = os.environ.get(
-            "BENCH_INPUT_PATH", "/dev/shm/spark-bench-files.parquet"
+            "BENCH_INPUT_PATH", f"/dev/shm/spark-bench-files-{n_files}.parquet"
         )
         if not os.path.exists(os.path.join(input_path, "_SUCCESS")):
             from smqtk_indexing_spark.session import get_spark

@@ -22,7 +22,7 @@ Scale design (north rule: "partitioning / shuffle / skew handled explicitly"):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from smqtk_indexing_spark.config import DedupConfig
@@ -61,19 +61,18 @@ def candidate_pairs(
     Returns distinct (a, b). Corresponds to J1+J3 in SURVEY.md §2.4.
     """
     salt_threshold = salt_threshold or cfg.salt_block_rows
-    sizes = (
-        buckets.groupBy("band_hash")
-        .agg(F.count("*").alias("sz"))
-        .where((F.col("sz") > 1) & (F.col("sz") <= cfg.bucket_cap))
-    )
     # ONE unified salted path: nb = ceil(sz / threshold) blocks per bucket.
     # Normal buckets get nb=1 (blk=0, no row replication — degenerates to a
     # plain self-equi-join on (band_hash, 0)); giant buckets stripe into
     # blocks so one hot key's O(m^2) pair work spreads over O(nb^2/2)
-    # independent join tasks. Single code path = the bucket table shuffles
-    # once per side instead of twice.
+    # independent join tasks. Bucket sizes come from a window count over the
+    # same band_hash exchange the join itself needs — Catalyst reuses that
+    # single shuffle for both sides (ReusedExchange) instead of a separate
+    # groupBy + join pass over the bucket table.
+    w = Window.partitionBy("band_hash")
     m = (
-        buckets.join(sizes, "band_hash")
+        buckets.withColumn("sz", F.count("*").over(w))
+        .where((F.col("sz") > 1) & (F.col("sz") <= cfg.bucket_cap))
         .withColumn("nb", F.ceil(F.col("sz") / F.lit(salt_threshold)).cast("int"))
         .withColumn("blk", F.pmod(F.xxhash64("doc_id"), F.col("nb")).cast("int"))
     )
