@@ -208,6 +208,13 @@ def q_rp_hamming_topk(spark, sf_dir):
     return ann.hamming_topk(ann.rp_signatures(_emb(spark, sf_dir)), k=TOPK)
 
 
+def q_ann_mrpt_topk(spark, sf_dir):
+    # MRPT tree-ensemble candidates + exact re-rank (mrpt.py J7/A5 analog)
+    from smqtk_indexing_spark.operators.mrpt import mrpt_topk
+
+    return mrpt_topk(_emb(spark, sf_dir), k=TOPK, n_trees=8, depth=4, seed=CFG.seed)
+
+
 def q_multimodal_features(spark, sf_dir):
     # binary-asset plumbing: text payload -> binary -> feature stub
     assets = to_assets(_docs(spark, sf_dir), "doc_id", "text", "text")
@@ -244,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_hik_topk": q_ann_hik_topk,
         "ann_rp_lsh_topk": q_ann_rp_lsh_topk,
         "rp_hamming_topk": q_rp_hamming_topk,
+        "ann_mrpt_topk": q_ann_mrpt_topk,
         "multimodal_features": q_multimodal_features,
     }
 

@@ -410,6 +410,65 @@ def int64_to_bits(vals: np.ndarray, width: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# MRPT — multiple random projection trees (Hyvönen et al., IEEE BigData'16),
+# the reference's tree-ensemble index (``impls/nn_index/mrpt.py``): per tree,
+# descend by comparing the level's random projection against stored median
+# splits (``mrpt.py:333-343`` median split, ``mrpt.py:452-471`` descent).
+# Spark mapping (SURVEY.md §2.4 J7): bases+splits are a small broadcastable
+# model; leaf assignment is one batched matmul; candidate generation is a
+# groupBy/equi-join on (tree_id, leaf_id).
+# ---------------------------------------------------------------------------
+
+def mrpt_fit(
+    x: np.ndarray, n_trees: int, depth: int, seed: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Train on a sample: returns (bases (t, depth, d), splits (t, 2^depth-1)).
+
+    Splits are per-node medians of the level projection over the sample rows
+    that reach the node — the reference's argpartition median
+    (``mrpt.py:333-343``) computed level-by-level.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    n, d = x.shape
+    rng = np.random.default_rng(seed)
+    bases = rng.standard_normal((n_trees, depth, d))
+    splits = np.zeros((n_trees, (1 << depth) - 1))
+    for t in range(n_trees):
+        node_of = np.zeros(n, dtype=np.int64)  # current node per sample row
+        for level in range(depth):
+            proj = x @ bases[t, level]
+            start = (1 << level) - 1
+            for node in range(start, (1 << (level + 1)) - 1):
+                mask = node_of == node
+                if mask.any():
+                    splits[t, node] = float(np.median(proj[mask]))
+                # descend: left if proj <= split else right
+                node_of = np.where(
+                    (node_of == node) & (proj <= splits[t, node]),
+                    2 * node + 1,
+                    np.where(node_of == node, 2 * node + 2, node_of),
+                )
+        # re-normalize node ids to leaf ids handled in mrpt_leaves
+    return bases, splits
+
+
+def mrpt_leaves(x: np.ndarray, bases: np.ndarray, splits: np.ndarray) -> np.ndarray:
+    """(n, n_trees) leaf ids via batched descent (``mrpt.py:452-471``)."""
+    x = np.asarray(x, dtype=np.float64)
+    n_trees, depth, _ = bases.shape
+    n = x.shape[0]
+    out = np.empty((n, n_trees), dtype=np.int64)
+    for t in range(n_trees):
+        node = np.zeros(n, dtype=np.int64)
+        for level in range(depth):
+            proj = x @ bases[t, level]
+            go_right = proj > splits[t, node]
+            node = 2 * node + 1 + go_right.astype(np.int64)
+        out[:, t] = node - ((1 << depth) - 1)  # leaf index within tree
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Distance kernels (golden-test twins of the Spark column expressions in
 # functions/metrics.py) — semantics of ``utils/metrics.py`` in full.
 # ---------------------------------------------------------------------------
