@@ -13,7 +13,7 @@ All pure Catalyst expressions — `sha2` is a JVM built-in, no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -50,6 +50,20 @@ def exact_dup_pairs(
     )
 
 
+def member_map(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, rep_id) for every row, rep_id = min doc_id sharing the same
+    content sha256.
+
+    Scale note: ONE exchange of (doc_id, sha256) — content itself never
+    shuffles (sha256 is computed in the projection before the exchange, and
+    a window-min replaces the groupBy+join-back pattern)."""
+    h = with_sha256(df, text_col).select(F.col(id_col).alias("doc_id"), "sha256")
+    w = Window.partitionBy("sha256")
+    return h.withColumn("rep_id", F.min("doc_id").over(w)).select("doc_id", "rep_id")
+
+
 def representatives(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
@@ -59,14 +73,14 @@ def representatives(
     - reps: one row per distinct content — the min-id member, all original
       columns preserved.
     - member_map: (doc_id, rep_id) for every input row.
+
+    Note: ``reps`` semi-joins the full rows and therefore shuffles content;
+    the pipeline avoids it (plans/pipeline.py filters the lean signature
+    table instead). Provided for API parity and small-corpus use.
     """
-    h = with_sha256(df, text_col)
-    w_rep = h.groupBy("sha256").agg(F.min(id_col).alias("rep_id"))
-    member_map = h.select(id_col, "sha256").join(w_rep, "sha256").select(
-        F.col(id_col).alias("doc_id"), "rep_id"
+    mm = member_map(df, id_col, text_col)
+    reps_ids = mm.where(F.col("doc_id") == F.col("rep_id")).select("doc_id")
+    reps = df.join(
+        reps_ids.withColumnRenamed("doc_id", id_col), id_col, "left_semi"
     )
-    reps = (
-        h.join(w_rep, (h["sha256"] == w_rep["sha256"]) & (h[id_col] == w_rep["rep_id"]))
-        .select(*[h[c] for c in df.columns])
-    )
-    return reps, member_map
+    return reps, mm

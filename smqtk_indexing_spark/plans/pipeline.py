@@ -137,19 +137,24 @@ def run_dedup(
     )
 
     member_map = ck.run(
-        "member_map", lambda: X.representatives(base)[1], res
+        "member_map", lambda: X.member_map(base), res
     )
     reps_ids = member_map.where(F.col("doc_id") == F.col("rep_id")).select("doc_id")
-    reps = base.join(reps_ids, "doc_id", "left_semi")
 
-    # lean signature table: bands + simhash only (~300 B/doc); shingle
-    # arrays are fetched later for candidate docs only — serializing every
-    # doc's shingle set through the checkpoint would dominate at scale
-    sigs = ck.run(
+    # Content NEVER shuffles in the hot path: signatures are computed in a
+    # single narrow pass over the raw scan (no upstream join), and the
+    # exact-dup representative filter is applied to the LEAN signature
+    # table (~300 B/doc: bands + simhash) instead of to the content rows.
+    # Recomputing signatures for duplicate content costs ~dup-fraction of
+    # kernel CPU; shuffling the full corpus content (the alternative) costs
+    # a sort/spill of the whole dataset — CPU is the cheaper currency at
+    # 100 TB. Shingle arrays are fetched later for candidate docs only.
+    sigs_all = ck.run(
         "signatures",
-        lambda: compute_signatures(reps, cfg, include=("simhash", "bands")),
+        lambda: compute_signatures(base, cfg, include=("simhash", "bands")),
         res,
     )
+    sigs = sigs_all.join(reps_ids, "doc_id", "left_semi")
 
     cand = ck.run(
         "cand_pairs",
@@ -163,7 +168,9 @@ def run_dedup(
             .unionAll(cand.select(F.col("b").alias("doc_id")))
             .distinct()
         )
-        cand_docs = base.join(cand_ids, "doc_id", "left_semi")
+        # shuffle-hash hint: build the hash table from the small id set so
+        # the content side is never sorted (SMJ would sort/spill it)
+        cand_docs = base.join(cand_ids.hint("shuffle_hash"), "doc_id", "left_semi")
         shingle_df = compute_shingle_arrays(cand_docs, cfg)
         return verify_pairs(cand, shingle_df, cfg)
 
