@@ -61,38 +61,54 @@ def candidate_pairs(
     Returns distinct (a, b). Corresponds to J1+J3 in SURVEY.md §2.4.
     """
     salt_threshold = salt_threshold or cfg.salt_block_rows
-    # ONE unified salted path: nb = ceil(sz / threshold) blocks per bucket.
-    # Normal buckets get nb=1 (blk=0, no row replication — degenerates to a
-    # plain self-equi-join on (band_hash, 0)); giant buckets stripe into
-    # blocks so one hot key's O(m^2) pair work spreads over O(nb^2/2)
-    # independent join tasks. Bucket sizes come from a window count over the
-    # same band_hash exchange the join itself needs — Catalyst reuses that
-    # single shuffle for both sides (ReusedExchange) instead of a separate
-    # groupBy + join pass over the bucket table.
-    w = Window.partitionBy("band_hash")
-    m = (
-        buckets.withColumn("sz", F.count("*").over(w))
-        .where((F.col("sz") > 1) & (F.col("sz") <= cfg.bucket_cap))
-        .withColumn("nb", F.ceil(F.col("sz") / F.lit(salt_threshold)).cast("int"))
-        .withColumn("blk", F.pmod(F.xxhash64("doc_id"), F.col("nb")).cast("int"))
+    # ONE shuffle total. The bucket table hash-aggregates into
+    # (band_hash, members[]) with map-side partial combine — singleton
+    # buckets (the overwhelming majority) die in the HAVING without ever
+    # being replicated or joined. Each surviving bucket's member array is
+    # split into blocks of ~salt_threshold INSIDE the row; the (i <= j)
+    # block-pair rows are exploded, then ROUND-ROBIN REPARTITIONED so a
+    # giant bucket's O(nb^2/2) block-pairs — and therefore its O(m^2) pair
+    # generation work — spread across the whole cluster (the salt step),
+    # and finally each block-pair row expands to its pairs via nested
+    # generators. No self-join of the bucket table at all.
+    nb = F.ceil(F.size("ms") / F.lit(salt_threshold)).cast("int")
+    blocks = F.transform(
+        F.sequence(F.lit(0), F.col("nb") - 1),
+        lambda i: F.slice("ms", i * salt_threshold + 1, salt_threshold),
     )
-    left = m.withColumn(
-        "jb", F.explode(F.sequence(F.col("blk"), F.col("nb") - 1))
-    ).select("band_hash", F.col("doc_id").alias("ld"), F.col("blk").alias("lb"), "jb")
-    right = m.select(
-        F.col("band_hash").alias("bh_r"),
-        F.col("doc_id").alias("rd"),
-        F.col("blk").alias("rb"),
+    block_pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.col("nb") - 1),
+            lambda i: F.transform(
+                F.sequence(i, F.col("nb") - 1),
+                lambda j: F.struct(
+                    F.col("blocks")[i].alias("ba"),
+                    F.col("blocks")[j].alias("bb"),
+                    (i == j).alias("same"),
+                ),
+            ),
+        )
     )
+    g = (
+        buckets.groupBy("band_hash")
+        .agg(F.collect_list("doc_id").alias("ms"))
+        .where((F.size("ms") > 1) & (F.size("ms") <= cfg.bucket_cap))
+        .withColumn("nb", nb)
+        .withColumn("blocks", blocks)
+        .select(F.explode(block_pairs).alias("bp"))
+        .select("bp.ba", "bp.bb", "bp.same")
+        .repartition(cfg.shuffle_partitions)  # spread giant buckets' work
+    )
+    x = F.explode("ba").alias("x")
     pairs = (
-        left.join(
-            right,
-            (F.col("band_hash") == F.col("bh_r")) & (F.col("jb") == F.col("rb")),
+        g.select(x, "bb", "same")
+        .select(
+            F.col("x"),
+            F.explode(
+                F.when(F.col("same"), F.filter("bb", lambda y: y > F.col("x")))
+                .otherwise(F.col("bb"))
+            ).alias("y"),
         )
-        .where(
-            (F.col("lb") < F.col("rb"))
-            | ((F.col("lb") == F.col("rb")) & (F.col("ld") < F.col("rd")))
-        )
-        .select(F.least("ld", "rd").alias("a"), F.greatest("ld", "rd").alias("b"))
+        .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
     )
     return pairs.distinct()
