@@ -29,6 +29,11 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # Workaround: Spark 4.1 Union.rewriteConstraints throws
+        # NoSuchElementException on self-unions with swapped column aliases
+        # (the connected-components symmetrize step). Constraint propagation
+        # only feeds optional filter inference; correctness is unaffected.
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
