@@ -215,6 +215,64 @@ def q_ann_mrpt_topk(spark, sf_dir):
     return mrpt_topk(_emb(spark, sf_dir), k=TOPK, n_trees=8, depth=4, seed=CFG.seed)
 
 
+def q_token_freq_topk(spark, sf_dir):
+    # corpus-wide token frequency top-20 (training-data vocab profiling)
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(20)
+    )
+
+
+def _events(spark, sf_dir):
+    return _spread(spark, spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_events_windowed_dedup(spark, sf_dir):
+    # event-stream dedup: first event per (user, type) per 5-minute window —
+    # the batch form of the streaming dedup in streaming/ingest.py
+    from pyspark.sql import Window as W
+
+    # ts is TIMESTAMP_NTZ; route through timestamp (session tz = UTC) to
+    # epoch seconds so the window start matches DuckDB's epoch(ts)
+    e = _events(spark, sf_dir).withColumn(
+        "w_start",
+        (F.floor(F.col("ts").cast("timestamp").cast("long") / 300) * 300).cast("long"),
+    )
+    w = W.partitionBy("w_start", "user_id", "event_type").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("w_start", "user_id", "event_type", "event_id")
+    )
+
+
+def q_events_type_stats(spark, sf_dir):
+    # per-type rollup with exact decimal sums (deterministic across
+    # partition orders, unlike double aggregation)
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+    )
+
+
+def q_events_json_extract(spark, sf_dir):
+    # JSON scalar extraction over the props column (no reference analog —
+    # SURVEY §2.10: the reference has no string/JSON function library)
+    e = _events(spark, sf_dir)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_val"),
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     # binary-asset plumbing: text payload -> binary -> feature stub
     assets = to_assets(_docs(spark, sf_dir), "doc_id", "text", "text")
@@ -253,6 +311,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_hamming_topk": q_rp_hamming_topk,
         "ann_mrpt_topk": q_ann_mrpt_topk,
         "multimodal_features": q_multimodal_features,
+        "token_freq_topk": q_token_freq_topk,
+        "events_windowed_dedup": q_events_windowed_dedup,
+        "events_type_stats": q_events_type_stats,
+        "events_json_extract": q_events_json_extract,
     }
 
 
@@ -422,6 +484,34 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text))::INT AS n_bytes,
                    256 AS n_dims
             FROM documents
+        """,
+        "token_freq_topk": f"""
+            SELECT token, count(*)::BIGINT AS freq
+            FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+            GROUP BY token ORDER BY freq DESC, token ASC LIMIT 20
+        """,
+        "events_windowed_dedup": """
+            WITH w AS (
+              SELECT (floor(epoch(ts)/300)*300)::BIGINT AS w_start,
+                     user_id, event_type, event_id,
+                     row_number() OVER (
+                       PARTITION BY (floor(epoch(ts)/300)*300)::BIGINT,
+                                    user_id, event_type
+                       ORDER BY ts ASC, event_id ASC) AS rn
+              FROM events
+            )
+            SELECT w_start, user_id, event_type, event_id FROM w WHERE rn = 1
+        """,
+        "events_type_stats": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   count(DISTINCT user_id)::BIGINT AS n_users,
+                   sum(value::DECIMAL(18,4)) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "events_json_extract": """
+            SELECT event_id,
+                   json_extract_string(props, '$.k')::INT AS k_val
+            FROM events
         """,
         # intentionally no oracle (Spark-native hash functions / approximate):
         # doc_fingerprint, minhash_signatures, simhash_hamming_pairs,
