@@ -200,3 +200,88 @@ def run_dedup(
 
     ck.run("clusters", build_clusters, res)
     return res
+
+
+def update_dedup(
+    spark: SparkSession,
+    all_files: DataFrame,
+    new_ids: DataFrame,
+    prior: PipelineResult,
+    cfg: DedupConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> PipelineResult:
+    """Incremental update (S2 at pipeline granularity, SURVEY §7 step 8):
+    signatures/shingles are computed ONLY for the new batch; candidate
+    pairs are generated ONLY where a new document shares a bucket; old
+    verified pairs are reused and clustering merges the union.
+
+    ``all_files``: the post-append corpus. ``new_ids``: single-column
+    DataFrame of newly appended doc ids. ``prior``: result of the previous
+    run_dedup/update_dedup over the pre-append corpus.
+    """
+    cfg = cfg or DedupConfig()
+    res = PipelineResult()
+    base = all_files.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    new_ids = new_ids.select(F.col(new_ids.columns[0]).cast("long").alias("doc_id"))
+    new_docs = base.join(new_ids, "doc_id", "left_semi")
+
+    # exact-dup map over the whole corpus (one (id, sha) exchange — cheap)
+    mm = X.member_map(base).localCheckpoint(eager=True)
+    res.tables["member_map"] = mm
+    reps_ids = mm.where(F.col("doc_id") == F.col("rep_id")).select("doc_id")
+
+    # signatures: prior table + one vectorized pass over the new batch only;
+    # ids already indexed are skipped (duplicate-insert warn+skip contract,
+    # reference impls/nn_index/faiss.py:590-598)
+    old_sigs = prior.tables["signatures"]
+    new_docs = new_docs.join(old_sigs.select("doc_id"), "doc_id", "left_anti")
+    new_sigs = compute_signatures(new_docs, cfg, include=("simhash", "bands"))
+    sigs_all = old_sigs.unionByName(new_sigs).localCheckpoint(eager=True)
+    res.tables["signatures"] = sigs_all
+    sigs = sigs_all.join(reps_ids, "doc_id", "left_semi")
+
+    # candidate pairs touching at least one NEW doc: semi-join the bucket
+    # table to buckets that gained a new member, then pair-generate only
+    # within those buckets
+    buckets = band_buckets(sigs, cfg)
+    new_rep_ids = new_ids.join(reps_ids, "doc_id", "left_semi")
+    touched = (
+        band_buckets(new_sigs.join(new_rep_ids, "doc_id", "left_semi"), cfg)
+        .select("band_hash")
+        .distinct()
+    )
+    touched_buckets = buckets.join(touched, "band_hash", "left_semi")
+    cand = candidate_pairs(touched_buckets, cfg)
+    # drop pairs already verified last round (old x old in a touched bucket)
+    cand_new = cand.join(
+        prior.tables["dup_pairs"].select("a", "b"), ["a", "b"], "left_anti"
+    ).localCheckpoint(eager=True)
+    res.tables["cand_pairs"] = cand_new
+
+    cand_ids = (
+        cand_new.select(F.col("a").alias("doc_id"))
+        .unionAll(cand_new.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = base.join(cand_ids.hint("shuffle_hash"), "doc_id", "left_semi")
+    shingle_df = compute_shingle_arrays(cand_docs, cfg)
+    new_pairs = verify_pairs(cand_new, shingle_df, cfg)
+    pairs = (
+        prior.tables["dup_pairs"].select("a", "b", "jaccard")
+        .unionByName(new_pairs)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    res.tables["dup_pairs"] = pairs
+
+    exact_edges = mm.where(F.col("doc_id") != F.col("rep_id")).select(
+        F.col("doc_id").alias("a"), F.col("rep_id").alias("b")
+    )
+    clusters = connected_components(
+        pairs.select("a", "b").unionByName(exact_edges), nodes=mm.select("doc_id")
+    )
+    res.tables["clusters"] = clusters.localCheckpoint(eager=True)
+    return res
