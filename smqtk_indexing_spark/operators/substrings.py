@@ -77,6 +77,52 @@ def cdc_chunks(
     ).mapInPandas(gen, schema=CHUNK_SCHEMA)
 
 
+def containment_candidates_rarest(
+    chunks: DataFrame, cfg: DedupConfig, df_cap: int = 10_000
+) -> DataFrame:
+    """Scale-path candidates: join each containee's RAREST interior chunk
+    (minimum document frequency, hash tie-break) against the chunk table.
+
+    Exactness: if inner ⊂ outer then ALL of inner's interior chunks — in
+    particular the rarest — appear in outer's chunk set, so no true
+    containment is lost. Join volume is Σ df(rarest chunk) instead of the
+    full interior×owner product. Containees whose rarest chunk still has
+    df > ``df_cap`` (pathologically repetitive content) are dropped — the
+    documented recall boundary, analogous to the LSH ``bucket_cap``.
+    """
+    df_tbl = chunks.groupBy("chunk_hash").agg(F.count("*").alias("df"))
+    inner = (
+        chunks.where(
+            F.col("is_interior") & (F.col("n_chars") >= cfg.min_containee_chars)
+        )
+        .join(df_tbl, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.min(F.struct("df", "chunk_hash")).alias("rarest"),
+            F.first("n_chars").alias("inner_chars"),
+        )
+        .where(F.col("rarest.df") <= df_cap)
+        .select(
+            F.col("doc_id").alias("inner"),
+            F.col("inner_chars"),
+            F.col("rarest.chunk_hash").alias("chunk_hash"),
+        )
+    )
+    outer = chunks.select(
+        F.col("doc_id").alias("outer"),
+        F.col("n_chars").alias("outer_chars"),
+        "chunk_hash",
+    )
+    return (
+        inner.join(outer, "chunk_hash")
+        .where(
+            (F.col("inner") != F.col("outer"))
+            & (F.col("inner_chars") < F.col("outer_chars"))
+        )
+        .select("inner", "outer")
+    )
+
+
 def containment_candidates(chunks: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(inner, outer) candidates where every interior chunk of ``inner``
     appears in ``outer``'s chunk set and ``inner`` is strictly shorter."""
@@ -135,10 +181,18 @@ def substring_pairs(
     cfg: DedupConfig,
     id_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "all_interior",
+    df_cap: int = 10_000,
 ) -> DataFrame:
-    """CDC candidates + exact verify -> (inner, outer) containment pairs."""
+    """CDC candidates + exact verify -> (inner, outer) containment pairs.
+
+    mode='all_interior' (exhaustive prefilter; right for small/medium
+    corpora) or 'rarest' (rarest-chunk anchor join; the 100 TB path)."""
     chunks = cdc_chunks(df, cfg, id_col, text_col)
-    cand = containment_candidates(chunks, cfg)
+    if mode == "rarest":
+        cand = containment_candidates_rarest(chunks, cfg, df_cap)
+    else:
+        cand = containment_candidates(chunks, cfg)
     return verify_containment(cand, df, id_col, text_col)
 
 

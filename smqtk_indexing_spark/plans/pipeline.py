@@ -177,9 +177,12 @@ def run_dedup(
     pairs = ck.run("dup_pairs", build_dup_pairs, res)
 
     if include_substrings:
-        sub = ck.run(
+        reps = base.join(reps_ids, "doc_id", "left_semi")
+        ck.run(
             "substr_pairs",
-            lambda: substring_pairs(reps, cfg, id_col="doc_id", text_col="text"),
+            lambda: substring_pairs(
+                reps, cfg, id_col="doc_id", text_col="text", mode="rarest"
+            ),
             res,
         )
 

@@ -45,6 +45,16 @@ def test_cdc_substring_recall(spark, corpus):
     assert len(got) >= 0.99 * len(brute), f"missed {len(missed)}/{len(brute)}"
 
 
+def test_rarest_mode_equals_all_interior(spark, corpus):
+    df, brute = corpus
+    got = {
+        (r.inner, r.outer)
+        for r in substring_pairs(df, CFG, mode="rarest").collect()
+    }
+    assert got <= brute
+    assert len(got) >= 0.99 * len(brute)
+
+
 def test_suffix_array_pass_exhaustive_single_partition(spark, corpus):
     df, brute = corpus
     got = {
