@@ -145,8 +145,11 @@ def q_quality_scores(spark, sf_dir):
         "doc_id",
         TX.stopword_ratio("text").alias("stopword_ratio"),
         TX.whitespace_ratio("text").alias("ws_ratio"),
-        (F.size(F.array_distinct(TX.tokens("text"))).cast("double")
-         / F.size(TX.tokens("text"))).alias("ttr"),
+        F.when(
+            F.size(TX.tokens("text")) > 0,
+            F.size(F.array_distinct(TX.tokens("text"))).cast("double")
+            / F.size(TX.tokens("text")),
+        ).otherwise(F.lit(0.0)).alias("ttr"),
     )
 
 
@@ -254,12 +257,18 @@ def q_events_windowed_dedup(spark, sf_dir):
 
 def q_events_type_stats(spark, sf_dir):
     # per-type rollup with exact decimal sums (deterministic across
-    # partition orders, unlike double aggregation)
+    # partition orders, unlike double aggregation). The sum is accumulated
+    # in decimal then canonicalized to a rounded double: Spark widens
+    # sum(decimal(18,4)) to decimal(28,4) while DuckDB widens to
+    # decimal(38,4), and the two disagree on the hashed string form —
+    # round(...::DOUBLE, 4) is representation-identical on both sides.
     e = _events(spark, sf_dir)
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.col("value").cast("decimal(18,4)")).alias("sum_value"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("sum_value"),
     )
 
 
@@ -322,7 +331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # DuckDB oracles
 # ---------------------------------------------------------------------------
 
-_TOKS = r"list_filter(string_split_regex(text, '\s+'), x -> x <> '')"
+# same explicit ASCII whitespace class as kernels._WS_RE / functions.text.tokens
+_TOKS = r"list_filter(string_split_regex(text, '[ \t\n\x0B\f\r]+'), x -> x <> '')"
 _SHINGLES = (
     "list_distinct([list_aggregate(ts[i:i+{km1}], 'string_agg', ' ') "
     "FOR i IN generate_series(1, len(ts)-{km1})])"
@@ -472,7 +482,9 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN length(text) > 0
                         THEN length(regexp_replace(text, '[^\\s]', '', 'g'))::DOUBLE / length(text)
                         ELSE 0.0 END AS ws_ratio,
-                   len(list_distinct(ts))::DOUBLE / len(ts) AS ttr
+                   CASE WHEN len(ts) > 0
+                        THEN len(list_distinct(ts))::DOUBLE / len(ts)
+                        ELSE 0.0 END AS ttr
             FROM t
         """,
         "lang_id": _lang_sql(),
@@ -505,7 +517,7 @@ def oracle_sql() -> dict[str, str]:
         "events_type_stats": """
             SELECT event_type, count(*)::BIGINT AS n_events,
                    count(DISTINCT user_id)::BIGINT AS n_users,
-                   sum(value::DECIMAL(18,4)) AS sum_value
+                   round(sum(value::DECIMAL(18,4))::DOUBLE, 4) AS sum_value
             FROM events GROUP BY event_type
         """,
         "events_json_extract": """

@@ -19,10 +19,16 @@ def _to_col(c) -> Column:
     return F.col(c) if isinstance(c, str) else c
 
 
+# Explicit ASCII whitespace class shared by all three tokenizer twins
+# (kernels._WS_RE, this Java regex, the oracle's RE2 regex): Java \s includes
+# \x0B while RE2's does not, so the class is spelled out rather than using \s.
+WS_CLASS = r"[ \t\n\x0B\f\r]+"
+
+
 def tokens(col) -> Column:
-    """Whitespace tokens, empties dropped — mirrors kernels.tokenize and the
-    DuckDB oracle ``list_filter(string_split_regex(text,'\\s+'), ...)``."""
-    return F.filter(F.split(_to_col(col), r"\s+"), lambda x: x != "")
+    """ASCII-whitespace tokens, empties dropped — mirrors kernels.tokenize
+    and the DuckDB oracle ``list_filter(string_split_regex(text, WS), ...)``."""
+    return F.filter(F.split(_to_col(col), WS_CLASS), lambda x: x != "")
 
 
 def token_count(col) -> Column:

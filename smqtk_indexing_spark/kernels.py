@@ -27,7 +27,11 @@ _MIX2 = U64(0xBF58476D1CE4E5B9)
 _MIX3 = U64(0x94D049BB133111EB)
 _POLY = U64(0x100000001B3)  # FNV-ish odd multiplier for k-gram combine
 
-_WS_RE = re.compile(r"\s+")
+# Explicit ASCII whitespace class — byte-identical semantics across the three
+# tokenizer twins (this Python kernel, the Java regex in functions/text.py, the
+# RE2 regex in the DuckDB oracle). Python \s+ would also match NBSP/  etc.
+# and silently diverge from the JVM/oracle paths on non-ASCII whitespace.
+_WS_RE = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 # ---------------------------------------------------------------------------

@@ -156,6 +156,45 @@ def containment_candidates(chunks: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def short_containee_pairs(
+    chunks: DataFrame,
+    df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact containment pairs for containees the CDC anchor join cannot see:
+    documents with no interior chunk (< 3 chunks) or shorter than
+    ``cfg.min_containee_chars``.
+
+    Those documents are, by construction, shorter than ~2 average chunk
+    lengths — a vanishing fraction of any real corpus — so they form a small
+    side that is broadcast and matched with a JVM-side ``contains`` against
+    every longer document (BroadcastNestedLoopJoin). Together with the CDC
+    path this makes ``substring_pairs`` EXACT: every proper containment is
+    found by exactly one of the two paths (disjoint containee sets).
+    """
+    detectable = chunks.where(
+        F.col("is_interior") & (F.col("n_chars") >= cfg.min_containee_chars)
+    ).select(F.col("doc_id")).distinct()
+    t = df.select(
+        F.col(id_col).cast("long").alias("did"), F.col(text_col).alias("t")
+    )
+    short = (
+        t.join(detectable.withColumnRenamed("doc_id", "did"), "did", "left_anti")
+        .select(F.col("did").alias("inner"), F.col("t").alias("t_in"))
+    )
+    outer = t.select(F.col("did").alias("outer"), F.col("t").alias("t_out"))
+    return (
+        outer.join(
+            F.broadcast(short),
+            (F.length("t_in") < F.length("t_out"))
+            & F.col("t_out").contains(F.col("t_in")),
+        )
+        .select("inner", "outer")
+    )
+
+
 def verify_containment(
     cand: DataFrame,
     df: DataFrame,
@@ -183,17 +222,28 @@ def substring_pairs(
     text_col: str = "text",
     mode: str = "all_interior",
     df_cap: int = 10_000,
+    short_path: bool = True,
 ) -> DataFrame:
     """CDC candidates + exact verify -> (inner, outer) containment pairs.
 
     mode='all_interior' (exhaustive prefilter; right for small/medium
-    corpora) or 'rarest' (rarest-chunk anchor join; the 100 TB path)."""
+    corpora) or 'rarest' (rarest-chunk anchor join; the 100 TB path).
+
+    With ``short_path`` (default), containees invisible to the CDC join
+    (no interior chunk / below the length floor) are matched exactly via a
+    broadcast ``contains`` pass, making the union EXACT — same semantics as
+    the full SQL oracle, no length floor."""
     chunks = cdc_chunks(df, cfg, id_col, text_col)
     if mode == "rarest":
         cand = containment_candidates_rarest(chunks, cfg, df_cap)
     else:
         cand = containment_candidates(chunks, cfg)
-    return verify_containment(cand, df, id_col, text_col)
+    pairs = verify_containment(cand, df, id_col, text_col)
+    if short_path:
+        pairs = pairs.unionByName(
+            short_containee_pairs(chunks, df, cfg, id_col, text_col)
+        )
+    return pairs
 
 
 def substring_pairs_within_partitions(

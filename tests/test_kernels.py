@@ -27,6 +27,15 @@ def test_tokenize():
     assert K.tokenize("A B", lowercase=True) == ["a", "b"]
 
 
+def test_tokenize_ascii_whitespace_only():
+    # Unicode whitespace (NBSP, LINE SEPARATOR) must NOT split: the Java and
+    # RE2 tokenizer twins are ASCII-only, and all three must agree.
+    assert K.tokenize("a\xa0b") == ["a\xa0b"]          # NBSP
+    assert K.tokenize("a\u2028b") == ["a\u2028b"]      # LINE SEPARATOR
+    # \x0b (vertical tab) IS in the shared explicit class
+    assert K.tokenize("a\x0bb") == ["a", "b"]
+
+
 def test_shingles_deterministic_and_set_semantics():
     s1 = K.text_shingles("a b c d e", 4)
     s2 = K.text_shingles("a b c d e", 4)

@@ -32,17 +32,33 @@ def corpus(spark):
     return df, brute
 
 
-def test_cdc_substring_recall(spark, corpus):
+def test_cdc_substring_exact(spark, corpus):
+    # CDC anchor join + short-containee broadcast path = EXACT containment
     df, brute = corpus
+    got = [(r.inner, r.outer) for r in substring_pairs(df, CFG).collect()]
+    assert len(got) == len(set(got))  # disjoint paths -> no duplicate rows
+    assert set(got) == brute
+
+
+def test_short_containees_found(spark):
+    # docs below the CDC floor (< min_containee_chars / < 3 chunks) are
+    # caught by the broadcast short path, including the empty document
+    rows = [
+        (1, "tiny"),
+        (2, ""),
+        (3, "prefix tiny suffix padding to make this one much longer " * 3),
+        (4, "unrelated content with nothing shared at all " * 3),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {(r.inner, r.outer) for r in substring_pairs(df, CFG).collect()}
-    # exact verification -> no false positives
-    assert got <= brute
-    # recall >= 0.99 for containees above the floor
-    long_enough = {
-        (a, b) for (a, b) in brute
+    brute = {
+        (a, b)
+        for a, ta in rows
+        for b, tb in rows
+        if a != b and len(ta) < len(tb) and ta in tb
     }
-    missed = brute - got
-    assert len(got) >= 0.99 * len(brute), f"missed {len(missed)}/{len(brute)}"
+    assert got == brute
+    assert (1, 3) in got and (2, 3) in got and (2, 4) in got
 
 
 def test_rarest_mode_equals_all_interior(spark, corpus):
