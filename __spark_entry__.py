@@ -173,11 +173,18 @@ def q_minhash_signatures(spark, sf_dir):
     )
 
 
-def q_simhash_hamming_pairs(spark, sf_dir):
-    # J5/M1: Hamming-radius theta-join over 64-bit SimHash signatures
-    sigs = compute_signatures(_docs(spark, sf_dir), CFG).where(
-        F.col("n_shingles") > 0
+def _simhash_sigs(spark, sf_dir):
+    return (
+        compute_signatures(
+            _docs(spark, sf_dir), CFG, include=("simhash",)
+        )
+        .where(F.col("n_shingles") > 0)
+        .select("doc_id", "simhash")
     )
+
+
+def _simhash_pairs_bruteforce(sigs):
+    # broadcast crossJoin — O(n^2) correctness twin, never the scale path
     a = sigs.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"))
     b = sigs.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"))
     return (
@@ -186,6 +193,36 @@ def q_simhash_hamming_pairs(spark, sf_dir):
         .withColumn("hamming", M.hamming64("ha", "hb"))
         .where(F.col("hamming") <= CFG.simhash_hamming_max)
         .select("a", "b", "hamming")
+    )
+
+
+def q_simhash_hamming_pairs(spark, sf_dir):
+    # J5/M1 at scale: multi-index banded Hamming-radius equi-join
+    # (radius+1 bit segments, pigeonhole-exact) — no cartesian product.
+    return ann.hamming_pairs_banded(
+        _simhash_sigs(spark, sf_dir),
+        radius=CFG.simhash_hamming_max,
+        id_col="doc_id",
+        sig_col="simhash",
+    )
+
+
+def q_simhash_banding_exact(spark, sf_dir):
+    # Oracle-checkable exactness certificate for the banded join: the banded
+    # equi-join must emit EXACTLY the crossJoin's pair set (pigeonhole
+    # guarantees it). SimHash values are hash-function-dependent, so DuckDB
+    # cannot recompute them — instead both paths run in Spark and the
+    # invariant (symmetric difference is empty) is emitted as counts the
+    # oracle states unconditionally.
+    sigs = _simhash_sigs(spark, sf_dir)
+    banded = ann.hamming_pairs_banded(
+        sigs, radius=CFG.simhash_hamming_max, id_col="doc_id", sig_col="simhash"
+    )
+    brute = _simhash_pairs_bruteforce(sigs)
+    missing = brute.join(banded, ["a", "b"], "left_anti").count()
+    extra = banded.join(brute, ["a", "b"], "left_anti").count()
+    return spark.createDataFrame(
+        [(missing, extra)], "n_missing long, n_extra long"
     )
 
 
@@ -313,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "minhash_signatures": q_minhash_signatures,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
+        "simhash_banding_exact": q_simhash_banding_exact,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_euclidean_topk": q_ann_euclidean_topk,
         "ann_hik_topk": q_ann_hik_topk,
@@ -519,6 +557,14 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id)::BIGINT AS n_users,
                    round(sum(value::DECIMAL(18,4))::DOUBLE, 4) AS sum_value
             FROM events GROUP BY event_type
+        """,
+        # exactness certificate: the banded multi-index Hamming join must
+        # reproduce the brute-force pair set exactly (pigeonhole). Both
+        # sides run in Spark (SimHash is engine-side hash state DuckDB
+        # cannot recompute); the oracle asserts the invariant's only legal
+        # value — an empty symmetric difference.
+        "simhash_banding_exact": """
+            SELECT CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_extra
         """,
         "events_json_extract": """
             SELECT event_id,

@@ -134,6 +134,62 @@ def hamming_topk(sigs: DataFrame, k: int = 5) -> DataFrame:
     return _ranked(p, dist, k, ascending=True)
 
 
+def hamming_pairs_banded(
+    sigs: DataFrame,
+    radius: int,
+    id_col: str = "vec_id",
+    sig_col: str = "rp_sig",
+    bits: int = 64,
+) -> DataFrame:
+    """EXACT Hamming-radius self-join via multi-index banding — the scale
+    path for J5 (``impls/hash_index/linear.py:206-244`` semantics, all pairs
+    with popcount(a^b) <= radius).
+
+    Pigeonhole (Manku/Jain/Sarma, WWW'07 SimHash dedup): split the code into
+    ``radius+1`` disjoint bit segments; any pair within the radius differs in
+    at most ``radius`` bits, so at least one segment is bit-identical. Each
+    segment becomes an equi-join key — ONE shuffle of the (n x radius+1)
+    exploded table per side, no cartesian product. Candidates are verified
+    with a JVM-side popcount; distinct-ing on (a, b) dedupes pairs that
+    collide in several segments. Skewed segment keys (boilerplate codes) are
+    split by AQE's skew-join handling; empty-signature rows must be filtered
+    upstream (they all share code 0).
+
+    Returns (a, b, hamming) with a < b.
+    """
+    nseg = radius + 1
+    base, rem = divmod(bits, nseg)
+    segs = []
+    off = 0
+    for i in range(nseg):
+        w = base + (1 if i < rem else 0)
+        key = F.shiftrightunsigned(F.col(sig_col), off)
+        if w < 64:  # a 64-bit all-ones mask overflows LongType literals
+            key = key.bitwiseAND(F.lit((1 << w) - 1))
+        segs.append(F.struct(F.lit(i).alias("seg"), key.alias("k")))
+        off += w
+    b = sigs.select(
+        F.col(id_col), F.col(sig_col), F.explode(F.array(*segs)).alias("s")
+    ).select(
+        id_col, sig_col, F.col("s.seg").alias("seg"), F.col("s.k").alias("seg_key")
+    )
+    x = b.select(
+        F.col(id_col).alias("a"), F.col(sig_col).alias("ha"), "seg", "seg_key"
+    )
+    y = b.select(
+        F.col(id_col).alias("b"), F.col(sig_col).alias("hb"), "seg", "seg_key"
+    )
+    return (
+        x.join(y, ["seg", "seg_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+        .withColumn("hamming", M.hamming64("ha", "hb"))
+        .where(F.col("hamming") <= radius)
+        .select("a", "b", "hamming")
+    )
+
+
 def rp_lsh_topk(
     emb: DataFrame,
     k: int = 5,

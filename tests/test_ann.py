@@ -89,3 +89,32 @@ def test_rp_lsh_topk_recall_planted_neighbors(spark):
     hits = sum(1 for i in range(30) if got.get(i) == i + 30)
     hits += sum(1 for i in range(30) if got.get(i + 30) == i)
     assert hits >= 0.9 * 60, f"planted-neighbor recall too low: {hits}/60"
+
+
+@pytest.mark.parametrize("radius", [0, 1, 3, 7])
+def test_hamming_pairs_banded_exact(spark, radius):
+    # banded multi-index join == brute-force popcount filter, any radius
+    # (including uneven 64/(r+1) segment splits)
+    rng = np.random.default_rng(11)
+    base = rng.integers(-(2**62), 2**62, size=60).astype(np.int64)
+    vals = list(base)
+    # plant near pairs at controlled distances
+    for d in range(radius + 2):
+        v = int(base[d])
+        for bit in range(d):
+            v ^= 1 << (7 * bit + 3)
+        vals.append(v)
+    rows = [(i, int(v)) for i, v in enumerate(vals)]
+    sigs = spark.createDataFrame(rows, "vec_id long, rp_sig long")
+    got = {
+        (r.a, r.b, r.hamming)
+        for r in ann.hamming_pairs_banded(sigs, radius).collect()
+    }
+    brute = {
+        (i, j, bin((vi ^ vj) & (2**64 - 1)).count("1"))
+        for i, vi in rows
+        for j, vj in rows
+        if i < j and bin((vi ^ vj) & (2**64 - 1)).count("1") <= radius
+    }
+    assert got == brute
+    assert len(brute) > 0  # planted pairs make the test non-vacuous
