@@ -25,7 +25,10 @@ from smqtk_indexing_spark.operators import ann, dedup
 from smqtk_indexing_spark.operators.candidates import band_buckets, candidate_pairs
 from smqtk_indexing_spark.operators.cluster import connected_components
 from smqtk_indexing_spark.operators.multimodal import extract_features, to_assets
-from smqtk_indexing_spark.operators.signatures import compute_signatures
+from smqtk_indexing_spark.operators.signatures import (
+    compute_shingle_arrays,
+    compute_signatures,
+)
 from smqtk_indexing_spark.operators.substrings import substring_pairs
 from smqtk_indexing_spark.operators.verify import verify_pairs
 
@@ -90,8 +93,23 @@ def q_near_dup_pairs_bruteforce(spark, sf_dir):
 
 
 def _lsh_pairs(spark, sf_dir):
-    sigs = compute_signatures(_docs(spark, sf_dir), CFG)
-    return verify_pairs(candidate_pairs(band_buckets(sigs, CFG), CFG), sigs, CFG)
+    # Lean dataflow (same shape as plans/pipeline.py:152-175): the signature
+    # pass carries ONLY band keys (~300 B/doc); shingle arrays are computed a
+    # second time for CANDIDATE docs only, instead of Arrow-shipping every
+    # doc's full shingle set through the whole DAG. ``cand`` feeds both the
+    # id fetch and the verify join, so it is persisted — without it the full
+    # tokenize+minhash mapInPandas pass re-runs once per DAG branch (~3x the
+    # signature cost, the round-1 near_dup_pairs_lsh bottleneck).
+    docs = _docs(spark, sf_dir)
+    sigs = compute_signatures(docs, CFG, include=("bands",))
+    cand = candidate_pairs(band_buckets(sigs, CFG), CFG).persist()
+    cand_ids = (
+        cand.select(F.col("a").alias("doc_id"))
+        .unionAll(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
+    )
+    cand_docs = docs.join(cand_ids.hint("shuffle_hash"), "doc_id", "left_semi")
+    return verify_pairs(cand, compute_shingle_arrays(cand_docs, CFG), CFG)
 
 
 def q_near_dup_pairs_lsh(spark, sf_dir):
