@@ -48,29 +48,57 @@ def mix64(x: np.ndarray) -> np.ndarray:
         return x ^ (x >> U64(31))
 
 
+_M64 = (1 << 64) - 1
+_POLY_INV = U64(pow(int(_POLY), -1, 1 << 64))  # P odd => invertible mod 2^64
+
+
 def hash_str64(s: str) -> int:
-    """Stable 64-bit hash of a string (blake2b/8 — process-independent)."""
-    return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
+    """Stable 64-bit string hash: polynomial fold acc = acc*P + byte over the
+    UTF-8 bytes, length mixed in, splitmix64 finalizer. Scalar twin of
+    :func:`hash_strs64` (bit-identical values)."""
+    data = s.encode("utf-8")
+    p = int(_POLY)
+    acc = 0
+    for byte in data:
+        acc = (acc * p + byte) & _M64
+    acc = (acc * p + len(data)) & _M64
+    return int(mix64(np.array([acc], dtype=U64))[0])
 
 
 def hash_strs64(strings, cache: dict | None = None) -> np.ndarray:
-    """Vector of stable 64-bit hashes. With a ``cache`` dict (shared across
-    documents in a task), each unique token is blake2b-hashed exactly once —
-    real corpora have heavy-tailed vocabularies, so this removes almost all
-    of the per-token Python cost."""
-    if cache is None:
-        return np.fromiter(
-            (hash_str64(s) for s in strings), dtype=U64, count=len(strings)
-        )
-    get = cache.get
-    out = np.empty(len(strings), dtype=U64)
-    for i, s in enumerate(strings):
-        h = get(s)
-        if h is None:
-            h = hash_str64(s)
-            cache[s] = h
-        out[i] = h
-    return out
+    """Vector of stable 64-bit hashes — FULLY vectorized (no per-token
+    Python hashing; this is the signature-stage hot loop at corpus scale).
+
+    The batch is right-padded into one (n, w) uint8 matrix; a column-wise
+    polynomial fold computes every token's padded hash simultaneously, and
+    the padding is cancelled exactly by multiplying with ``P^-pad`` (P is
+    odd, hence invertible mod 2^64). Token length is mixed in before the
+    splitmix64 finalizer, so left-extension collisions are impossible.
+
+    ``cache`` is accepted for backwards compatibility and ignored —
+    callers should dedupe tokens batch-wide (pd.factorize) instead.
+    """
+    n = len(strings)
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    bts = [
+        s.encode("utf-8") if isinstance(s, str) else bytes(s) for s in strings
+    ]
+    lens = np.fromiter(map(len, bts), dtype=np.int64, count=n)
+    arr = np.array(bts, dtype=np.bytes_)  # 'S<w>', right-padded with NULs
+    w = arr.dtype.itemsize
+    if int(lens.max()) == 0:
+        return mix64(np.zeros(n, dtype=U64))  # all-empty: acc=0, len=0
+    m = np.ascontiguousarray(arr).view(np.uint8).reshape(n, w).astype(U64)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n, dtype=U64)
+        for j in range(w):
+            acc = acc * _POLY + m[:, j]
+        # cancel the NUL padding: acc_true = acc_padded * P^-(w - len)
+        pinv_pows = np.ones(w + 1, dtype=U64)
+        np.cumprod(np.full(w, _POLY_INV, dtype=U64), out=pinv_pows[1:])
+        acc = acc * pinv_pows[w - lens]
+        return mix64(acc * _POLY + lens.astype(U64))
 
 
 # ---------------------------------------------------------------------------
@@ -111,6 +139,102 @@ def text_shingles(
     if not toks:
         return np.empty(0, dtype=U64)
     return shingle_hashes(hash_strs64(toks, cache), k)
+
+
+def tokenize_bytes(text: str, lowercase: bool = False) -> list:
+    """UTF-8 byte tokens via C-level ``bytes.split()`` — whose no-arg
+    whitespace set is exactly the ASCII class of :data:`_WS_RE`
+    (space, \\t, \\n, \\r, \\x0b, \\x0c), and UTF-8 continuation bytes are
+    >= 0x80 so multi-byte characters can never be split. Bit-identical
+    token streams to ``tokenize(...)`` after encoding, ~3x faster."""
+    if lowercase:
+        text = text.lower()
+    return text.encode("utf-8").split()
+
+
+def shingle_sets_batch(
+    tok_hashes: np.ndarray, n_tokens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Batch form of :func:`shingle_hashes` over a CONCATENATED token-hash
+    array — one vectorized pass for the whole Arrow batch, no per-doc loop.
+
+    Returns (values, offsets): ``values[offsets[i]:offsets[i+1]]`` is doc
+    i's sorted-unique shingle set (identical to ``shingle_hashes`` on the
+    doc's own slice). Windows spanning a document boundary are masked out;
+    per-doc set-dedup is one global lexsort.
+    """
+    n_docs = len(n_tokens)
+    offsets_tok = np.concatenate([[0], np.cumsum(n_tokens)]).astype(np.int64)
+    N = int(offsets_tok[-1])
+    empty = np.zeros(n_docs + 1, dtype=np.int64)
+    if N < k:
+        return np.empty(0, dtype=U64), empty
+    # global windowed fold over the concatenated token hashes (windows that
+    # span a doc boundary are simply never read below)
+    w = np.lib.stride_tricks.sliding_window_view(tok_hashes.astype(U64), k)
+    acc = np.zeros(N - k + 1, dtype=U64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            acc = acc * _POLY + w[:, j]
+    h = mix64(acc)
+    # set-dedup per doc: np.unique over the doc's own window slice
+    parts = []
+    counts = np.zeros(n_docs, dtype=np.int64)
+    for i in range(n_docs):
+        if n_tokens[i] >= k:
+            u = np.unique(h[offsets_tok[i] : offsets_tok[i + 1] - k + 1])
+            parts.append(u)
+            counts[i] = len(u)
+    values = np.concatenate(parts) if parts else np.empty(0, dtype=U64)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+    return values, offsets
+
+
+_SIMHASH_WEIGHTS = (U64(1) << np.arange(64, dtype=U64))[::-1].copy()
+
+
+def signatures_segmented(
+    values: np.ndarray,
+    offsets: np.ndarray,
+    a: np.ndarray,
+    b: np.ndarray,
+    want_minhash: bool = True,
+    want_simhash: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(minhash (n_docs, num_perm) u64, simhash (n_docs,) u64) over segmented
+    shingle sets — streaming ``reduceat`` instead of a per-doc Python loop.
+
+    Semantics identical to :func:`minhash_signature` / :func:`simhash64`
+    per segment (empty segments -> all-ones minhash sentinel, simhash 0).
+    """
+    n_docs = len(offsets) - 1
+    num_perm = a.shape[0]
+    mh = np.full((n_docs, num_perm), np.iinfo(np.uint64).max, dtype=U64)
+    sh = np.zeros(n_docs, dtype=U64)
+    nz = np.nonzero(offsets[1:] > offsets[:-1])[0]  # non-empty docs
+    if nz.size == 0:
+        return mh, sh
+    starts = offsets[nz]
+    with np.errstate(over="ignore"):
+        if want_minhash:
+            # one streaming pass per permutation: the temporaries stay
+            # cache-sized (len(values) u64) instead of a num_perm x N
+            # matrix that thrashes memory bandwidth
+            for i in range(num_perm):
+                m = values * a[i] + b[i]
+                mh[nz, i] = np.minimum.reduceat(m, starts)
+        if want_simhash:
+            # 64 streaming bit passes (same access pattern as the minhash
+            # loop — contiguous reduceat; a 2D column-wise reduceat is ~25x
+            # slower here)
+            sizes = offsets[nz + 1] - offsets[nz]
+            packed = np.zeros(len(nz), dtype=U64)
+            for j in range(64):
+                bitj = (values >> U64(j)) & U64(1)
+                cj = np.add.reduceat(bitj, starts)
+                packed += (2 * cj >= sizes).astype(U64) << U64(j)
+            sh[nz] = packed
+    return mh, sh
 
 
 # ---------------------------------------------------------------------------
@@ -254,17 +378,32 @@ def cdc_boundaries(data: bytes, window: int, mask_bits: int) -> np.ndarray:
 
 
 def cdc_chunk_hashes(text: str, window: int, mask_bits: int) -> np.ndarray:
-    """uint64 hash per chunk, in document order (may repeat)."""
+    """uint64 hash per chunk, in document order (may repeat).
+
+    Vectorized via a polynomial prefix: ``prefix[i]`` is the fold of
+    ``data[:i]``, computed as ``P^i * cumsum(byte_j * P^-(j+1))`` (all
+    wraparound u64 math), so every chunk hash is a prefix difference —
+    ``fold(data[s:e]) = prefix[e] - prefix[s] * P^(e-s)`` — with length
+    mixed in. No per-chunk Python hashing.
+    """
     data = text.encode("utf-8")
     bounds = cdc_boundaries(data, window, mask_bits)
-    out = np.empty(len(bounds), dtype=U64)
-    start = 0
-    for i, end in enumerate(bounds):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(data[start:end], digest_size=8).digest(), "big"
-        )
-        start = int(end)
-    return out
+    n = len(data)
+    if n == 0:
+        return mix64(np.zeros(len(bounds), dtype=U64))
+    b = np.frombuffer(data, dtype=np.uint8).astype(U64)
+    with np.errstate(over="ignore"):
+        ppow = np.ones(n + 1, dtype=U64)
+        np.cumprod(np.full(n, _POLY, dtype=U64), out=ppow[1:])
+        ipow = np.ones(n + 1, dtype=U64)
+        np.cumprod(np.full(n, _POLY_INV, dtype=U64), out=ipow[1:])
+        t = np.zeros(n + 1, dtype=U64)
+        np.cumsum(b * ipow[1:], out=t[1:])
+        prefix = ppow * t
+        starts = np.concatenate([[0], bounds[:-1]]).astype(np.int64)
+        lens = (bounds - starts).astype(np.int64)
+        acc = prefix[bounds] - prefix[starts] * ppow[lens]
+        return mix64(acc * _POLY + lens.astype(U64))
 
 
 # ---------------------------------------------------------------------------

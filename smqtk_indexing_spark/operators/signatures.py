@@ -73,45 +73,59 @@ def compute_signatures(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a, b = K.make_minhash_perms(num_perm, seed)  # rebuilt per task: tiny
-        token_cache: dict = {}  # unique-token hash cache, shared across docs
         for pdf in batches:
-            if len(token_cache) > 2_000_000:  # bound task memory at scale
-                token_cache.clear()
             ids = pdf[id_col].to_numpy()
             texts = pdf[text_col].tolist()
+            # C-level byte tokenization (same ASCII-whitespace set as the
+            # regex twins), then each UNIQUE token in the batch is hashed
+            # exactly once (heavy-tailed vocabularies): factorize -> hash
+            # uniques -> gather. No per-token Python hashing anywhere.
             token_lists = [
-                K.tokenize(t if t is not None else "", lowercase) for t in texts
-            ]
-            shingle_sets = [
-                K.shingle_hashes(K.hash_strs64(toks, token_cache), shingle_k)
-                if toks
-                else np.empty(0, dtype=np.uint64)
-                for toks in token_lists
+                K.tokenize_bytes(t if t is not None else "", lowercase)
+                for t in texts
             ]
             n_tokens = np.fromiter(
-                (len(t) for t in token_lists), dtype=np.int32, count=len(texts)
+                (len(t) for t in token_lists), dtype=np.int64, count=len(texts)
             )
+            flat = [tok for toks in token_lists for tok in toks]
+            if flat:
+                codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+                tok_hashes = K.hash_strs64(list(uniques))[codes]
+            else:
+                tok_hashes = np.empty(0, dtype=np.uint64)
+            # one vectorized pass for ALL docs in the batch: windowed shingle
+            # hashing with boundary masking + lexsort set-dedup, then blocked
+            # reduceat minhash/simhash -- no per-document Python loops.
+            values, offsets = K.shingle_sets_batch(tok_hashes, n_tokens, shingle_k)
+            n_shingles = (offsets[1:] - offsets[:-1]).astype(np.int32)
             cols = {
                 "doc_id": ids,
-                "n_tokens": n_tokens,
-                "n_shingles": [int(s.size) for s in shingle_sets],
+                "n_tokens": n_tokens.astype(np.int32),
+                "n_shingles": n_shingles,
             }
             if inc_sh:
+                vi = values.view(np.int64)
                 cols["shingles"] = [
-                    s.view(np.int64).tolist() for s in shingle_sets
+                    vi[offsets[i] : offsets[i + 1]].tolist()
+                    for i in range(len(texts))
                 ]
-            if inc_mh or inc_bands:
-                sigs = K.minhash_batch(shingle_sets, a, b)  # (n, num_perm) u64
+            if inc_mh or inc_bands or inc_sim:
+                mh, sim = K.signatures_segmented(
+                    values, offsets, a, b,
+                    want_minhash=inc_mh or inc_bands,
+                    want_simhash=inc_sim,
+                )
                 if inc_mh:
-                    cols["minhash"] = [r.tolist() for r in sigs.view(np.int64)]
+                    mhi = mh.view(np.int64)
+                    cols["minhash"] = [r.tolist() for r in mhi]
                 if inc_bands:
-                    bkeys = K.band_keys_batch(sigs, bands, rows_per_band)
+                    bkeys = K.band_keys_batch(mh, bands, rows_per_band)
                     cols["bands"] = [
-                        row.tolist() if shingle_sets[i].size > 0 else []
+                        row.tolist() if n_shingles[i] > 0 else []
                         for i, row in enumerate(bkeys)
                     ]
-            if inc_sim:
-                cols["simhash"] = K.simhash_batch(shingle_sets).view(np.int64)
+                if inc_sim:
+                    cols["simhash"] = sim.view(np.int64)
             yield pd.DataFrame(cols)
 
     return df.select(

@@ -215,3 +215,44 @@ def test_norm_vectors_zero_guard():
     n = K.norm_vectors(x)
     np.testing.assert_allclose(n[1], [0.6, 0.8])
     np.testing.assert_allclose(n[0], [0.0, 0.0])
+
+
+def test_segmented_kernels_match_per_doc():
+    # the batch/segmented hot path must be bit-identical to the per-doc
+    # reference kernels (tokenize_bytes == tokenize after encoding;
+    # shingle_sets_batch == shingle_hashes; signatures_segmented ==
+    # minhash_batch/simhash_batch), including empty and short docs
+    import pandas as pd
+
+    texts = [
+        "a b c d e f g h",
+        "",
+        "one two",
+        "x " * 50,
+        "a\x0bb c d e",
+        " ".join(f"t{i % 7}" for i in range(100)),
+    ]
+    a, b = K.make_minhash_perms(128, 42)
+    tl = [K.tokenize_bytes(t) for t in texts]
+    for t, toks in zip(texts, tl):
+        assert [w.encode() for w in K.tokenize(t)] == toks
+    nt = np.fromiter((len(t) for t in tl), np.int64, len(tl))
+    flat = [x for ts in tl for x in ts]
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    th = K.hash_strs64(list(uniq))[codes]
+    # scalar twin agreement
+    assert int(th[0]) == K.hash_str64(tl[0][0].decode())
+    values, offsets = K.shingle_sets_batch(th, nt, 4)
+    off = np.concatenate([[0], np.cumsum(nt)])
+    ss = []
+    for i in range(len(tl)):
+        s = (
+            K.shingle_hashes(th[off[i] : off[i + 1]], 4)
+            if nt[i]
+            else np.empty(0, np.uint64)
+        )
+        np.testing.assert_array_equal(values[offsets[i] : offsets[i + 1]], s)
+        ss.append(s)
+    mh, sim = K.signatures_segmented(values, offsets, a, b)
+    np.testing.assert_array_equal(mh, K.minhash_batch(ss, a, b))
+    np.testing.assert_array_equal(sim, K.simhash_batch(ss))
