@@ -266,6 +266,48 @@ def q_rp_hamming_topk(spark, sf_dir):
     return ann.hamming_topk(ann.rp_signatures(_emb(spark, sf_dir)), k=TOPK)
 
 
+def q_rp_hamming128_topk(spark, sf_dir):
+    # >64-bit multi-word codes (array<long>): 128-bit RP signatures, summed
+    # per-word popcount Hamming (utils/bits.py:4-20 parity; itq.py:71-78)
+    return ann.hamming_topk_words(
+        ann.rp_signatures_words(_emb(spark, sf_dir), bits=128), k=TOPK, bits=128
+    )
+
+
+def q_rp_hamming128_cert(spark, sf_dir):
+    # same certificate form as rp_hamming_cert, over multi-word codes
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    topk = q_rp_hamming128_topk(spark, sf_dir)
+    sigs = ann.rp_signatures_words(emb, bits=128)
+    sa = sigs.select(
+        F.col("vec_id").alias("query_id"), F.col("rp_sig_words").alias("sa")
+    )
+    sb = sigs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("rp_sig_words").alias("sb")
+    )
+    j = (
+        topk.join(sa, "query_id")
+        .join(sb, "neighbor_id")
+        .withColumn(
+            "true_score",
+            F.round(M.hamming_words("sa", "sb").cast("double") / F.lit(128.0), 6),
+        )
+    )
+    n_rows = topk.count()
+    n_score_mismatch = j.where(
+        F.abs(F.col("score") - F.col("true_score")) > 1e-9
+    ).count()
+    win = W.partitionBy("query_id").orderBy("rank")
+    bad = F.lead("score").over(win) < F.col("score")
+    n_rank_violations = topk.withColumn("bad", bad).where("bad").count()
+    return spark.createDataFrame(
+        [(n_rows, n_score_mismatch, n_rank_violations)],
+        "n_rows long, n_score_mismatch long, n_rank_violations long",
+    )
+
+
 def q_ann_mrpt_topk(spark, sf_dir):
     # MRPT tree-ensemble candidates + exact re-rank (mrpt.py J7/A5 analog)
     from smqtk_indexing_spark.operators.mrpt import mrpt_topk
@@ -539,6 +581,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rp_lsh_cert": q_ann_rp_lsh_cert,
         "ann_mrpt_cert": q_ann_mrpt_cert,
         "rp_hamming_cert": q_rp_hamming_cert,
+        "rp_hamming128_topk": q_rp_hamming128_topk,
+        "rp_hamming128_cert": q_rp_hamming128_cert,
         "minhash_estimate_accuracy": q_minhash_estimate_accuracy,
         "fingerprint_properties": q_fingerprint_properties,
         "multimodal_features": q_multimodal_features,
@@ -760,6 +804,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "rp_hamming_cert": f"""
+            SELECT (count(*) * {TOPK})::BIGINT AS n_rows,
+                   CAST(0 AS BIGINT) AS n_score_mismatch,
+                   CAST(0 AS BIGINT) AS n_rank_violations
+            FROM embeddings
+        """,
+        "rp_hamming128_cert": f"""
             SELECT (count(*) * {TOPK})::BIGINT AS n_rows,
                    CAST(0 AS BIGINT) AS n_score_mismatch,
                    CAST(0 AS BIGINT) AS n_rank_violations

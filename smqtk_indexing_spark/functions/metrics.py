@@ -78,6 +78,18 @@ def hamming64(a, b) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def hamming_words(a, b) -> Column:
+    """Summed popcount over multi-word hash codes (``array<long>``, word 0
+    most-significant — kernels.bits_to_words layout): the >64-bit form of
+    :func:`hamming64`, unlocking parity with the reference's
+    arbitrary-precision codes (``utils/bits.py:4-20``, 256-bit ITQ at
+    ``impls/lsh_functor/itq.py:71-78``). Pure Catalyst (zip_with + bit_count
+    + aggregate) — JVM-side, no Python."""
+    a, b = _to_col(a), _to_col(b)
+    per_word = F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y)))
+    return F.aggregate(per_word, F.lit(0), lambda acc, v: acc + v)
+
+
 def jaccard_arrays(a, b) -> Column:
     """|A ∩ B| / |A ∪ B| over pre-distinct arrays — the dedup verifier
     (set-similarity analog of the exact re-rank at lsh.py:505-519)."""

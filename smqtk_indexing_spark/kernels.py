@@ -552,6 +552,44 @@ def int64_to_bits(vals: np.ndarray, width: int) -> np.ndarray:
     return ((v[:, None] >> np.arange(width, dtype=U64)[None, ::-1]) & U64(1)).astype(bool)
 
 
+def bits_to_words(bits: np.ndarray) -> np.ndarray:
+    """Pack (n, w) bool rows MSB-first into (n, ceil(w/64)) int64 words —
+    the arbitrary-precision codes of ``utils/bits.py:4-20`` (explicitly
+    ">64bit"; ITQ supports 256-bit codes, ``impls/lsh_functor/itq.py:71-78``)
+    in Spark-friendly ``array<long>`` form. Bits are left-padded with zeros
+    so word 0 carries the most-significant bits; Hamming distance over the
+    words is the per-word popcount sum (functions/metrics.hamming_words).
+    """
+    b = np.asarray(bits, dtype=np.uint64)
+    n, w = b.shape
+    nw = (w + 63) // 64
+    pad = nw * 64 - w
+    if pad:
+        b = np.concatenate([np.zeros((n, pad), dtype=np.uint64), b], axis=1)
+    out = np.empty((n, nw), dtype=np.int64)
+    for j in range(nw):
+        out[:, j] = bits_to_int64(b[:, j * 64 : (j + 1) * 64])
+    return out
+
+
+def words_to_bits(words: np.ndarray, width: int) -> np.ndarray:
+    """Inverse of :func:`bits_to_words`: (n, n_words) int64 -> (n, width)."""
+    w = np.asarray(words)
+    n, nw = w.shape
+    bits = np.concatenate(
+        [int64_to_bits(np.ascontiguousarray(w[:, j]), 64) for j in range(nw)],
+        axis=1,
+    )
+    return bits[:, nw * 64 - width :]
+
+
+def hamming_words(a: np.ndarray, b: np.ndarray) -> int:
+    """popcount sum over multi-word codes — ``utils/metrics.py:140-155``
+    without the 64-bit restriction (kernel twin of metrics.hamming_words)."""
+    x = np.asarray(a, dtype=np.int64).view(U64) ^ np.asarray(b, dtype=np.int64).view(U64)
+    return int(sum(bin(int(v)).count("1") for v in x))
+
+
 # ---------------------------------------------------------------------------
 # MRPT — multiple random projection trees (Hyvönen et al., IEEE BigData'16),
 # the reference's tree-ensemble index (``impls/nn_index/mrpt.py``): per tree,

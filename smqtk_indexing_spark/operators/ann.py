@@ -123,6 +123,53 @@ def rp_signatures(
     ).mapInPandas(gen, schema=RP_SIG_SCHEMA)
 
 
+def rp_signatures_words(
+    emb: DataFrame,
+    bits: int = 128,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-word (>64-bit) sign-of-projection signatures as ``array<long>``
+    (kernels.bits_to_words layout) — parity with the reference's
+    arbitrary-precision codes (``utils/bits.py:4-20``; ITQ/RP up to 256
+    bits, ``impls/lsh_functor/itq.py:71-78``). Projections allow
+    bits > dim, unlike ITQ's PCA cap."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rps = None
+        for pdf in batches:
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            if rps is None:
+                rps = K.rp_fit(x.shape[1], bits, seed)
+            words = K.bits_to_words(K.rp_hash(x, rps))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "rp_sig_words": list(words),
+                }
+            )
+
+    return emb.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+    ).mapInPandas(gen, schema="vec_id long, rp_sig_words array<long>")
+
+
+def hamming_topk_words(sigs: DataFrame, k: int = 5, bits: int = 128) -> DataFrame:
+    """Brute-force Hamming top-k over multi-word codes — the J5 linear scan
+    (``impls/hash_index/linear.py:231-244``) at >64-bit width; normalized
+    distance as at ``linear.py:241-243``."""
+    a = sigs.select(
+        F.col("vec_id").alias("query_id"), F.col("rp_sig_words").alias("sa")
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("rp_sig_words").alias("sb")
+    )
+    p = a.crossJoin(F.broadcast(b)).where(F.col("query_id") != F.col("neighbor_id"))
+    dist = M.hamming_words("sa", "sb").cast("double") / F.lit(float(bits))
+    return _ranked(p, dist, k, ascending=True)
+
+
 def hamming_topk(sigs: DataFrame, k: int = 5) -> DataFrame:
     """Brute-force Hamming top-k over (vec_id, rp_sig) — the J5 theta-join
     (``impls/hash_index/linear.py:231-244``), normalized distance as at

@@ -118,3 +118,51 @@ def test_hamming_pairs_banded_exact(spark, radius):
     }
     assert got == brute
     assert len(brute) > 0  # planted pairs make the test non-vacuous
+
+
+def test_hamming_words_catalyst_matches_kernel(spark):
+    rng = np.random.default_rng(13)
+    bits = rng.integers(0, 2, size=(30, 128)).astype(bool)
+    words = K.bits_to_words(bits)
+    rows = [(i, words[i].tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, w array<long>")
+    from pyspark.sql import functions as F
+    from smqtk_indexing_spark.functions import metrics as M
+    a = df.select(F.col("vec_id").alias("i"), F.col("w").alias("wa"))
+    b = df.select(F.col("vec_id").alias("j"), F.col("w").alias("wb"))
+    got = {
+        (r.i, r.j): r.h
+        for r in a.crossJoin(b)
+        .where(F.col("i") < F.col("j"))
+        .select("i", "j", M.hamming_words("wa", "wb").alias("h"))
+        .collect()
+    }
+    for (i, j), h in got.items():
+        assert h == K.hamming_words(words[i], words[j])
+        assert h == int((bits[i] != bits[j]).sum())
+
+
+def test_rp_signatures_words_and_topk(spark, emb):
+    emb, _vecs = emb
+    sigs = ann.rp_signatures_words(emb, bits=128)
+    rows = sigs.collect()
+    assert all(len(r.rp_sig_words) == 2 for r in rows)
+    # deterministic across runs
+    rows2 = ann.rp_signatures_words(emb, bits=128).collect()
+    assert {r.vec_id: tuple(r.rp_sig_words) for r in rows} == {
+        r.vec_id: tuple(r.rp_sig_words) for r in rows2
+    }
+    topk = ann.hamming_topk_words(sigs, k=3, bits=128)
+    got = topk.collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r)
+    sigmap = {r.vec_id: np.array(r.rp_sig_words) for r in rows}
+    for q, rs in per_q.items():
+        assert len(rs) == 3
+        scores = [r.score for r in sorted(rs, key=lambda r: r.rank)]
+        assert scores == sorted(scores)
+        for r in rs:
+            expect = K.hamming_words(sigmap[q], sigmap[r.neighbor_id]) / 128.0
+            # Spark rounds HALF_UP, Python rounds half-even: allow the ulp
+            assert abs(r.score - expect) <= 5.01e-7

@@ -256,3 +256,47 @@ def test_segmented_kernels_match_per_doc():
     mh, sim = K.signatures_segmented(values, offsets, a, b)
     np.testing.assert_array_equal(mh, K.minhash_batch(ss, a, b))
     np.testing.assert_array_equal(sim, K.simhash_batch(ss))
+
+
+def test_multiword_pack_roundtrip():
+    # >64-bit codes: words layout is MSB-first with word 0 most significant
+    rng = np.random.default_rng(5)
+    for width in [64, 65, 128, 200, 256]:
+        bits = rng.integers(0, 2, size=(20, width)).astype(bool)
+        words = K.bits_to_words(bits)
+        assert words.shape == (20, (width + 63) // 64)
+        np.testing.assert_array_equal(K.words_to_bits(words, width), bits)
+    # 64-bit words agree with the single-word packer
+    bits = rng.integers(0, 2, size=(10, 64)).astype(bool)
+    np.testing.assert_array_equal(
+        K.bits_to_words(bits)[:, 0], K.bits_to_int64(bits)
+    )
+
+
+def test_hamming_words_kernel():
+    rng = np.random.default_rng(6)
+    for width in [64, 128, 256]:
+        b1 = rng.integers(0, 2, size=(1, width)).astype(bool)
+        b2 = b1.copy()
+        flip = rng.choice(width, size=7, replace=False)
+        b2[0, flip] = ~b2[0, flip]
+        w1, w2 = K.bits_to_words(b1)[0], K.bits_to_words(b2)[0]
+        assert K.hamming_words(w1, w2) == 7
+        assert K.hamming_words(w1, w1) == 0
+
+
+def test_itq_multiword_bits():
+    # ITQ at 128/256 bits (reference supports up to 256, itq.py:71-78):
+    # decision boundary properties hold and codes roundtrip through words
+    rng = np.random.default_rng(8)
+    for bits in [128, 256]:
+        x = rng.standard_normal((300, 256))
+        mean, rot = K.itq_fit(x, bits=bits, n_iter=10, seed=1)
+        assert rot.shape == (256, bits)
+        h = K.itq_hash(x[:20], mean, rot)
+        assert h.shape == (20, bits)
+        words = K.bits_to_words(h)
+        np.testing.assert_array_equal(K.words_to_bits(words, bits), h)
+        # determinism
+        mean2, rot2 = K.itq_fit(x, bits=bits, n_iter=10, seed=1)
+        np.testing.assert_allclose(rot, rot2)
