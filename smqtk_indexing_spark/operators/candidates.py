@@ -97,7 +97,15 @@ def candidate_pairs(
         .withColumn("blocks", blocks)
         .select(F.explode(block_pairs).alias("bp"))
         .select("bp.ba", "bp.bb", "bp.same")
-        .repartition(cfg.shuffle_partitions)  # spread giant buckets' work
+        # spread giant buckets' work over the WHOLE cluster: width follows
+        # the session's actual parallelism, not a fixed config constant
+        # (round-1 VERDICT item 8)
+        .repartition(
+            max(
+                cfg.shuffle_partitions,
+                buckets.sparkSession.sparkContext.defaultParallelism,
+            )
+        )
     )
     x = F.explode("ba").alias("x")
     pairs = (

@@ -70,10 +70,14 @@ def itq_fit(
     """Train: sample -> driver numpy -> model. The sample bound keeps the
     driver matrix small regardless of corpus size (the reference trains on
     whatever iterable it is handed; we make the subsample explicit)."""
+    from smqtk_indexing_spark.operators.sample import bounded_sample
+
     s = emb.select(vec_col)
     if sample_fraction < 1.0:
         s = s.sample(fraction=sample_fraction, seed=seed)
-    rows = s.limit(max_sample).collect()
+    # hash-ordered TakeOrdered: a deterministic draw from ALL partitions,
+    # not a partition prefix (round-1 VERDICT: limit() biased the fit)
+    rows = bounded_sample(s, max_sample, seed=seed).collect()
     if not rows:
         raise ValueError("itq_fit: empty training input")
     x = np.asarray([r[0] for r in rows], dtype=np.float64)

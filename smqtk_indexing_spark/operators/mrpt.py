@@ -52,7 +52,10 @@ def mrpt_fit(
 ) -> MrptModel:
     """Train on a sampled slice collected to the driver (the model is tiny;
     the reference trains on the full iterable, ``mrpt.py:239-266``)."""
-    rows = emb.select(vec_col).limit(max_sample).collect()
+    from smqtk_indexing_spark.operators.sample import bounded_sample
+
+    # deterministic unbiased draw across partitions (not a limit() prefix)
+    rows = bounded_sample(emb.select(vec_col), max_sample, seed=seed).collect()
     if not rows:
         raise ValueError("mrpt_fit: empty training input")
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
