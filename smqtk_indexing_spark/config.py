@@ -37,7 +37,13 @@ class DedupConfig:
     simhash_hamming_max: int = 3  # near-dup radius for the SimHash path
     # --- verification ---
     tau: float = 0.8              # exact-Jaccard acceptance threshold
-    minhash_prefilter: float = 0.0  # estimated-Jaccard prefilter (0 = off)
+    # estimated-Jaccard prefilter before the exact verify (M6 pruning).
+    # 0.5 sits ~7 sigma below tau at 128 perms (sigma ~= 0.035 at j=0.8):
+    # P[est < 0.5 | j >= tau] ~ 1e-17, so no true pair is lost while
+    # obviously-false band collisions skip the array-intersect compute.
+    # Gated by the driver oracle: near_dup_pairs_lsh must stay value-equal
+    # to the brute-force SQL. 0 disables.
+    minhash_prefilter: float = 0.5
     # --- skew / scale ---
     max_bucket_pairs_per_task: int = 5_000_000  # salt blocks above this
     salt_block_rows: int = 1024   # target member-rows per salted block

@@ -139,9 +139,16 @@ def compute_shingle_arrays(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, text) -> (doc_id, shingles) only — the verification-side
-    descriptor fetch, run over candidate documents rather than the corpus
-    (J2 in SURVEY.md §2.4: ``get_many_descriptors``, lsh.py:499-501)."""
+    """(id, text) -> verification-side descriptor fetch, run over candidate
+    documents rather than the corpus (J2 in SURVEY.md §2.4:
+    ``get_many_descriptors``, lsh.py:499-501). Carries the minhash column
+    too when the estimated-Jaccard prefilter is enabled (M6 pruning)."""
+    include = (
+        ("shingles", "minhash") if cfg.minhash_prefilter > 0.0 else ("shingles",)
+    )
+    cols = ["doc_id", "shingles"] + (
+        ["minhash"] if cfg.minhash_prefilter > 0.0 else []
+    )
     return compute_signatures(
-        df, cfg, id_col=id_col, text_col=text_col, include=("shingles",)
-    ).select("doc_id", "shingles")
+        df, cfg, id_col=id_col, text_col=text_col, include=include
+    ).select(*cols)

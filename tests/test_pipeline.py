@@ -130,3 +130,15 @@ def test_lineage_df_schema(spark, corpus):
         "stage", "rows_out", "n_partitions", "wall_ms", "config_hash", "resumed"
     }
     assert ldf.count() == 5
+
+
+def test_prefilter_preserves_pairs(spark, corpus):
+    # the 0.5 estimated-Jaccard prefilter must not drop any true pair
+    # (it sits ~7 sigma below tau at 128 perms) — VERDICT r1 item 10 gate
+    files, _ = corpus
+    df = spark.createDataFrame(files)
+    on = run_dedup(spark, df, DedupConfig(minhash_prefilter=0.5))
+    off = run_dedup(spark, df, DedupConfig(minhash_prefilter=0.0))
+    p_on = {(r.a, r.b) for r in on.tables["dup_pairs"].collect()}
+    p_off = {(r.a, r.b) for r in off.tables["dup_pairs"].collect()}
+    assert p_on == p_off and len(p_on) > 0
