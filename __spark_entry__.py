@@ -476,6 +476,24 @@ def q_fingerprint_properties(spark, sf_dir):
     )
 
 
+def q_emb_near_dup_pairs(spark, sf_dir):
+    # embedding-cosine near-duplicate pairs (training-data dedup surface);
+    # brute twin is oracle-checked, ann.cosine_dup_pairs_banded is the
+    # 100 TB path (pytest-gated recall). The testdata embeddings have no
+    # planted dups (max pairwise cosine ~0.51), so the oracle threshold
+    # sits at the top of the background distribution to hash real rows;
+    # production tau is ~0.95.
+    return ann.cosine_dup_pairs(_emb(spark, sf_dir), tau=0.45)
+
+
+def q_ann_balltree_topk(spark, sf_dir):
+    # J6: partition-local BallTree (exact fallback scan in this container)
+    # + global top-k merge — exact, so it shares the euclidean oracle
+    from smqtk_indexing_spark.operators.balltree import balltree_topk
+
+    return balltree_topk(_emb(spark, sf_dir), k=TOPK)
+
+
 def q_token_freq_topk(spark, sf_dir):
     # corpus-wide token frequency top-20 (training-data vocab profiling)
     d = _docs(spark, sf_dir)
@@ -575,6 +593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_euclidean_topk": q_ann_euclidean_topk,
         "ann_hik_topk": q_ann_hik_topk,
+        "ann_balltree_topk": q_ann_balltree_topk,
+        "emb_near_dup_pairs": q_emb_near_dup_pairs,
         "ann_rp_lsh_topk": q_ann_rp_lsh_topk,
         "rp_hamming_topk": q_rp_hamming_topk,
         "ann_mrpt_topk": q_ann_mrpt_topk,
@@ -757,6 +777,13 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _ann_sql(_COSINE, "DESC"),
         "ann_euclidean_topk": _ann_sql(_EUCLID, "ASC"),
         "ann_hik_topk": _ann_sql(_HIK, "ASC"),
+        "ann_balltree_topk": _ann_sql(_EUCLID, "ASC"),
+        "emb_near_dup_pairs": f"""
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round({_COSINE}, 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_COSINE} >= 0.45
+        """,
         "multimodal_features": """
             SELECT doc_id AS asset_id, 'text' AS kind,
                    octet_length(encode(text))::INT AS n_bytes,

@@ -232,8 +232,10 @@ def main() -> None:
 
         r2 = _best("local[2]", 2)
         r8 = _best("local[8]", 8)
+        r16 = _best("local[16]", 16)
         r32 = _best("local[32]", 32)
         eff_2_8 = (r8["files_per_sec"] / r2["files_per_sec"]) / 4.0
+        eff_4_16 = (r16["files_per_sec"] / r8["files_per_sec"]) / 2.0  # 8->16, x2
         eff_8_32 = (r32["files_per_sec"] / r8["files_per_sec"]) / 4.0
 
         # hardware ceiling: the pure signature kernel (no Spark) under 8 vs
@@ -247,8 +249,14 @@ def main() -> None:
         lo, hi = r8, r32
         report = {
             "n_files": n_files,
-            "levels": {"local[2]": r2, "local[8]": r8, "local[32]": r32},
+            "levels": {
+                "local[2]": r2,
+                "local[8]": r8,
+                "local[16]": r16,
+                "local[32]": r32,
+            },
             "scaling_efficiency_2_to_8": round(eff_2_8, 3),
+            "scaling_efficiency_8_to_16": round(eff_4_16, 3),
             "scaling_efficiency_8_to_32": round(eff_8_32, 3),
             "kernel_ceiling_docs_per_sec": {"8": round(ceil8), "32": round(ceil32)},
             "hardware_scaling_ceiling_8_to_32": round(hw_eff, 3),
@@ -258,7 +266,9 @@ def main() -> None:
         os.makedirs("BENCH", exist_ok=True)
         stage_rows = "\n".join(
             f"| {s} | {r2['stage_wall_ms'].get(s, '-')} | "
-            f"{r8['stage_wall_ms'].get(s, '-')} | {r32['stage_wall_ms'].get(s, '-')} |"
+            f"{r8['stage_wall_ms'].get(s, '-')} | "
+            f"{r16['stage_wall_ms'].get(s, '-')} | "
+            f"{r32['stage_wall_ms'].get(s, '-')} |"
             for s in r8["stage_wall_ms"]
         )
 
@@ -286,6 +296,7 @@ trials and per-trial steal%% reported).
 |---|---|---|---|---|---|
 {_row('local[2]', r2)}
 {_row('local[8]', r8)}
+{_row('local[16]', r16)}
 {_row('local[32]', r32)}
 
 **Primary N -> 4N evidence — local[2] -> local[8]: scaling efficiency =
@@ -294,7 +305,9 @@ target). This pair sits in the machine's linear regime, so it isolates
 ENGINE scaling (shuffle layout, partitioning, skew handling) from
 single-box hardware limits.
 
-Secondary — local[8] -> local[32]: efficiency = {eff_8_32:.3f}.
+Secondary — local[8] -> local[16] (x2): efficiency = {eff_4_16:.3f};
+local[8] -> local[32] (x4): efficiency = {eff_8_32:.3f}. The local[16]
+level locates the box's saturation knee between 8 and 32 threads.
 
 ## Why 8 -> 32 cannot hit 0.8 on this box (and why that is hardware)
 
@@ -316,8 +329,8 @@ handling residual skew — nothing in the plan is serialized on a driver.
 
 Per-stage wall (ms), best trial:
 
-| stage | local[2] | local[8] | local[32] |
-|---|---|---|---|
+| stage | local[2] | local[8] | local[16] | local[32] |
+|---|---|---|---|---|
 {stage_rows}
 
 Cluster counts are identical across all parallelism levels (determinism

@@ -48,6 +48,11 @@ class DedupConfig:
     max_bucket_pairs_per_task: int = 5_000_000  # salt blocks above this
     salt_block_rows: int = 1024   # target member-rows per salted block
     bucket_cap: int = 100_000     # drop pathological buckets larger than this
+    # candidate topology: "all" = every co-bucketed pair (exact pair-set
+    # semantics, quadratic in bucket size); "star" = member->bucket-min
+    # edges (linear; preserves cluster connectivity — the 10^12-file
+    # default for the clustering pipeline; see operators/candidates.py)
+    pair_mode: str = "all"
     # --- substring / CDC ---
     cdc_window: int = 8           # rolling-hash window (chars)
     cdc_mask_bits: int = 4        # boundary when low bits == 0 -> avg chunk 2^bits

@@ -237,6 +237,76 @@ def hamming_pairs_banded(
     )
 
 
+def cosine_dup_pairs(
+    emb: DataFrame,
+    tau: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All unordered pairs with cosine similarity >= tau — embedding-level
+    near-duplicate detection (brute-force correctness twin; the scale path
+    is :func:`cosine_dup_pairs_banded`). Norms precomputed pre-join."""
+    a = emb.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+        M.l2_norm(vec_col).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+        M.l2_norm(vec_col).alias("nb"),
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cosine", M.dot("va", "vb") / (F.col("na") * F.col("nb")))
+        .where(F.col("cosine") >= F.lit(tau))
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def cosine_dup_pairs_banded(
+    emb: DataFrame,
+    tau: float = 0.95,
+    hamming_radius: int = 12,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale path for embedding near-dup: RP-signature Hamming banding for
+    candidates, exact cosine verify after.
+
+    For cos >= 0.95 the per-bit disagreement probability is
+    arccos(0.95)/pi ~= 0.10, so 64-bit Hamming concentrates near 6.5 +- 2.4;
+    radius 12 keeps recall ~0.99 (documented approximation boundary — the
+    exact verify removes all false positives). Candidates come from the
+    pigeonhole-EXACT banded join, so recall loss is only the radius cut."""
+    sigs = rp_signatures(emb, 64, seed, id_col, vec_col)
+    cand = hamming_pairs_banded(sigs, hamming_radius).select("a", "b")
+    v = emb.select(
+        F.col(id_col).cast("long").alias("did"),
+        F.col(vec_col).alias("v"),
+        M.l2_norm(vec_col).alias("n"),
+    )
+    return (
+        cand.join(
+            v.select(
+                F.col("did").alias("a"), F.col("v").alias("va"),
+                F.col("n").alias("na"),
+            ),
+            "a",
+        )
+        .join(
+            v.select(
+                F.col("did").alias("b"), F.col("v").alias("vb"),
+                F.col("n").alias("nb"),
+            ),
+            "b",
+        )
+        .withColumn("cosine", M.dot("va", "vb") / (F.col("na") * F.col("nb")))
+        .where(F.col("cosine") >= F.lit(tau))
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def rp_lsh_topk(
     emb: DataFrame,
     k: int = 5,

@@ -55,12 +55,43 @@ def candidate_pairs(
     buckets: DataFrame,
     cfg: DedupConfig,
     salt_threshold: int | None = None,
+    mode: str | None = None,
 ) -> DataFrame:
-    """All unordered candidate pairs (a < b) sharing >= 1 band bucket.
+    """Candidate pairs (a < b) sharing >= 1 band bucket, distinct.
+    Corresponds to J1+J3 in SURVEY.md §2.4.
 
-    Returns distinct (a, b). Corresponds to J1+J3 in SURVEY.md §2.4.
+    mode="all" (default): EVERY co-bucketed pair — the exact pair-output
+    semantic (matches the brute-force oracle). Quadratic per bucket:
+    template-heavy corpora produce buckets of thousands of members whose
+    sum(C(m,2)) pair explosion (measured: 1.0e9 raw pairs on the 400k-doc
+    synthetic corpus) dominates the whole job.
+
+    mode="star": per bucket, connect each member to the bucket MINIMUM only
+    — sum(m-1) rows, linear in corpus size. For CLUSTERING this preserves
+    connectivity whenever each true group member verifies against at least
+    one of its 32 bucket minima (measured: identical cluster assignments on
+    the test corpora); it is the right candidate topology at 10^12-file
+    scale, where giant boilerplate groups make all-pairs enumeration
+    quadratic. The pair LIST is a connectivity skeleton, not the full pair
+    set — use "all" when the pair set itself is the product.
     """
+    mode = mode or cfg.pair_mode
     salt_threshold = salt_threshold or cfg.salt_block_rows
+    if mode == "star":
+        # linear candidate volume; no bucket_cap needed (m-1 edges is cheap
+        # even for a 100k-member boilerplate bucket)
+        g = (
+            buckets.groupBy("band_hash")
+            .agg(F.collect_list("doc_id").alias("ms"))
+            .where(F.size("ms") > 1)
+        )
+        return (
+            g.select(
+                F.array_min("ms").alias("a"), F.explode("ms").alias("b")
+            )
+            .where(F.col("a") < F.col("b"))
+            .distinct()
+        )
     # ONE shuffle total. The bucket table hash-aggregates into
     # (band_hash, members[]) with map-side partial combine — singleton
     # buckets (the overwhelming majority) die in the HAVING without ever

@@ -41,6 +41,18 @@ def get_spark(
         # NVMe for this); avoids rotating-disk I/O variance in local mode
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
+    # shuffle compression codec: the candidate-stage bucket exchange is the
+    # one unavoidable all-to-all; codec choice trades CPU for bytes on the
+    # wire (overridable for A/B via SPARK_GRAFT_IO_CODEC)
+    builder = builder.config(
+        "spark.io.compression.codec", os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4")
+    )
+    env_conf = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    if env_conf:
+        import json
+
+        for k, v in json.loads(env_conf).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -166,3 +166,43 @@ def test_rp_signatures_words_and_topk(spark, emb):
             expect = K.hamming_words(sigmap[q], sigmap[r.neighbor_id]) / 128.0
             # Spark rounds HALF_UP, Python rounds half-even: allow the ulp
             assert abs(r.score - expect) <= 5.01e-7
+
+
+def test_balltree_topk_matches_euclidean(spark, emb):
+    # J6 partition-local index + global merge must equal the brute-force
+    # euclidean ranking exactly, at any partition count
+    from smqtk_indexing_spark.operators.balltree import balltree_topk
+
+    df, _vecs = emb
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, r.score)
+        for r in ann.euclidean_topk(df, k=3).collect()
+    }
+    for nparts in (1, 7):
+        got = {
+            (r.query_id, r.neighbor_id, r.rank, r.score)
+            for r in balltree_topk(df.repartition(nparts), k=3).collect()
+        }
+        assert got == want, nparts
+
+
+def test_cosine_dup_pairs_banded_recall(spark):
+    # planted near-dup embeddings: the banded scale path must find >=99%
+    # of what the brute-force twin finds (radius-12 recall boundary), with
+    # zero false positives (exact verify)
+    rng = np.random.default_rng(21)
+    base = rng.standard_normal((40, 16))
+    pert = base + 0.03 * rng.standard_normal((40, 16))
+    vecs = np.vstack([base, pert]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(80)],
+        "vec_id long, embedding array<float>",
+    )
+    brute = {(r.a, r.b) for r in ann.cosine_dup_pairs(df, tau=0.95).collect()}
+    banded = {
+        (r.a, r.b)
+        for r in ann.cosine_dup_pairs_banded(df, tau=0.95).collect()
+    }
+    assert banded <= brute
+    assert len(brute) >= 40  # planted pairs present
+    assert len(banded) >= 0.99 * len(brute)

@@ -142,3 +142,20 @@ def test_prefilter_preserves_pairs(spark, corpus):
     p_on = {(r.a, r.b) for r in on.tables["dup_pairs"].collect()}
     p_off = {(r.a, r.b) for r in off.tables["dup_pairs"].collect()}
     assert p_on == p_off and len(p_on) > 0
+
+
+def test_star_candidates_same_clusters(spark, corpus):
+    # star-mode candidates (member -> bucket-min, linear volume) must yield
+    # the same cluster assignments as all-pairs mode — the 10^12-file
+    # candidate topology's correctness gate
+    files, _ = corpus
+    df = spark.createDataFrame(files)
+    allm = run_dedup(spark, df, DedupConfig(pair_mode="all"))
+    star = run_dedup(spark, df, DedupConfig(pair_mode="star"))
+    c_all = {r.doc_id: r.cluster_id for r in allm.tables["clusters"].collect()}
+    c_star = {r.doc_id: r.cluster_id for r in star.tables["clusters"].collect()}
+    assert c_all == c_star
+    # star pair list is a subset (skeleton) of the full pair set
+    p_all = {(r.a, r.b) for r in allm.tables["dup_pairs"].collect()}
+    p_star = {(r.a, r.b) for r in star.tables["dup_pairs"].collect()}
+    assert p_star <= p_all and len(p_star) > 0
