@@ -107,7 +107,15 @@ def dedup_files_per_sec(
         from smqtk_indexing_spark.sources.files import synth_files
 
         df = spark.read.parquet(input_path)
-        cfg = DedupConfig(shuffle_partitions=max(8, cpus))
+        # star candidate topology is the 10^12-file configuration: giant
+        # boilerplate buckets make all-pairs enumeration quadratic (1.0e9
+        # raw pairs measured on this 400k corpus); star is linear and
+        # produces IDENTICAL cluster assignments (pytest-gated; n_clusters
+        # parity shown in BENCH/BASELINE.md). BENCH_PAIR_MODE=all reverts.
+        cfg = DedupConfig(
+            shuffle_partitions=max(8, cpus),
+            pair_mode=os.environ.get("BENCH_PAIR_MODE", "star"),
+        )
         # warm-up: spin up the JVM stages + python worker pool on a slice so
         # the timed window measures steady-state throughput, not process
         # start-up (a long-lived cluster is always warm)
@@ -220,7 +228,8 @@ def main() -> None:
                     return r
             raise RuntimeError(f"scaling child failed: {out.stderr[-2000:]}")
 
-        def _best(master: str, cpus: int, trials: int = 2) -> dict:
+        def _best(master: str, cpus: int, trials: int | None = None) -> dict:
+            trials = trials or int(os.environ.get("BENCH_TRIALS", "2"))
             # the hypervisor intermittently steals CPU (observed spikes of
             # >10%); take the best of `trials` runs as the steady-state
             # number and keep per-run steal telemetry

@@ -78,18 +78,25 @@ def candidate_pairs(
     mode = mode or cfg.pair_mode
     salt_threshold = salt_threshold or cfg.salt_block_rows
     if mode == "star":
-        # linear candidate volume; no bucket_cap needed (m-1 edges is cheap
-        # even for a 100k-member boilerplate bucket)
-        g = (
+        # NO member arrays: a collect_list groupBy is an
+        # ObjectHashAggregate that falls back to sort-based aggregation
+        # (measured: the non-scaling stage of the 800k run). Instead:
+        # (1) plain codegen'd min/count aggregate — partial map-side
+        #     combine makes its exchange ~|distinct buckets|, and
+        # (2) join the bucket table back against the >1-member minima —
+        #     map-side only when the minima table is broadcastable, plain
+        #     shuffled join on band_hash otherwise (AQE decides),
+        # (3) distinct over the linear Σ(m-1) star edges.
+        mins = (
             buckets.groupBy("band_hash")
-            .agg(F.collect_list("doc_id").alias("ms"))
-            .where(F.size("ms") > 1)
+            .agg(F.min("doc_id").alias("m"), F.count("*").alias("n"))
+            .where(F.col("n") > 1)
+            .select("band_hash", "m")
         )
         return (
-            g.select(
-                F.array_min("ms").alias("a"), F.explode("ms").alias("b")
-            )
-            .where(F.col("a") < F.col("b"))
+            buckets.join(mins, "band_hash")
+            .where(F.col("doc_id") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("doc_id").alias("b"))
             .distinct()
         )
     # ONE shuffle total. The bucket table hash-aggregates into
