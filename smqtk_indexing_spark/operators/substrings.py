@@ -234,6 +234,10 @@ def substring_pairs(
     broadcast ``contains`` pass, making the union EXACT — same semantics as
     the full SQL oracle, no length floor."""
     chunks = cdc_chunks(df, cfg, id_col, text_col)
+    if short_path:
+        # chunks feeds BOTH the candidate branch and the short-containee
+        # anti-join; persist so the CDC mapInPandas pass runs once
+        chunks = chunks.persist()
     if mode == "rarest":
         cand = containment_candidates_rarest(chunks, cfg, df_cap)
     else:
