@@ -144,18 +144,25 @@ def _kernel_work(args):
     n_docs, seed = args
     import time as _t
 
+    import numpy as np
+    import pandas as pd
+
     from smqtk_indexing_spark import kernels as K
     from smqtk_indexing_spark.sources.files import synth_files
 
     files, _ = synth_files(n=n_docs, seed=seed)
     texts = files["content"].tolist()
     a, b = K.make_minhash_perms(128, 42)
-    cache: dict = {}
     t0 = _t.time()
-    ss = [K.shingle_hashes(K.hash_strs64(K.tokenize(t), cache), 4) for t in texts]
-    sigs = K.minhash_batch(ss, a, b)
-    K.simhash_batch(ss)
-    K.band_keys_batch(sigs, 32, 4)
+    # identical kernel path to operators/signatures.py::gen
+    tl = [K.tokenize_bytes(t) for t in texts]
+    nt = np.fromiter((len(t) for t in tl), np.int64, len(tl))
+    flat = [tok for toks in tl for tok in toks]
+    codes, uniq = pd.factorize(np.asarray(flat, dtype=object))
+    th = K.hash_strs64(list(uniq))[codes]
+    values, offsets = K.shingle_sets_batch(th, nt, 4)
+    mh, _sim = K.signatures_segmented(values, offsets, a, b)
+    K.band_keys_batch(mh, 32, 4)
     return _t.time() - t0
 
 

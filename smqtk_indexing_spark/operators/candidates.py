@@ -78,24 +78,17 @@ def candidate_pairs(
     mode = mode or cfg.pair_mode
     salt_threshold = salt_threshold or cfg.salt_block_rows
     if mode == "star":
-        # NO member arrays: a collect_list groupBy is an
-        # ObjectHashAggregate that falls back to sort-based aggregation
-        # (measured: the non-scaling stage of the 800k run). Instead:
-        # (1) plain codegen'd min/count aggregate — partial map-side
-        #     combine makes its exchange ~|distinct buckets|, and
-        # (2) join the bucket table back against the >1-member minima —
-        #     map-side only when the minima table is broadcastable, plain
-        #     shuffled join on band_hash otherwise (AQE decides),
-        # (3) distinct over the linear Σ(m-1) star edges.
-        mins = (
-            buckets.groupBy("band_hash")
-            .agg(F.min("doc_id").alias("m"), F.count("*").alias("n"))
-            .where(F.col("n") > 1)
-            .select("band_hash", "m")
-        )
+        # NO member arrays (a collect_list groupBy is an
+        # ObjectHashAggregate that falls back to sort-based aggregation)
+        # and ONE exchange of the bucket table: window min/count over the
+        # band key computes each member's bucket minimum in place — the
+        # agg+join-back pattern would exchange the 32x-exploded table
+        # twice. Then a distinct over the linear sum(m-1) star edges.
+        w = Window.partitionBy("band_hash")
         return (
-            buckets.join(mins, "band_hash")
-            .where(F.col("doc_id") != F.col("m"))
+            buckets.withColumn("m", F.min("doc_id").over(w))
+            .withColumn("n", F.count("*").over(w))
+            .where((F.col("n") > 1) & (F.col("doc_id") != F.col("m")))
             .select(F.col("m").alias("a"), F.col("doc_id").alias("b"))
             .distinct()
         )

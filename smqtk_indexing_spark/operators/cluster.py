@@ -83,7 +83,13 @@ def connected_components(
 
     sig = _sig(e)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # LAZY localCheckpoint: the convergence-fingerprint action is the
+        # one job that materializes the round (an eager checkpoint would
+        # add a second job per round — pure fixed cost), while the
+        # checkpoint still truncates the logical plan every round (the
+        # star DAG references its input several times, so an untruncated
+        # plan grows ~4x per round and optimizer time explodes).
+        e2 = _small_star(_large_star(e)).localCheckpoint(eager=False)
         sig2 = _sig(e2)
         old = e
         e = e2

@@ -25,6 +25,10 @@ QUERIES = [
     "ann_cosine_topk",
     "ann_rp_lsh_topk",
     "token_stats",
+    "simhash_hamming_pairs",
+    "ann_balltree_topk",
+    "emb_near_dup_pairs",
+    "rp_hamming128_topk",
 ]
 
 
