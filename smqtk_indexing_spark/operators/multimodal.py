@@ -81,3 +81,71 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
     return df.select("asset_id", "kind", "data").mapInPandas(
         gen, schema=FEATURE_SCHEMA
     )
+
+
+FRAME_SCHEMA = "asset_id long, frame_idx int, frame binary"
+
+
+def sample_frames(
+    df: DataFrame, n_frames: int = 4, decode: str = "fake"
+) -> DataFrame:
+    """Video frame sampling plumbing: binary asset -> n evenly-spaced frame
+    rows. decode='real' is the ffmpeg integration point (NotImplemented in
+    this container); decode='fake' splits the byte stream into n evenly-
+    spaced windows — the identical row-explosion dataflow (one asset row ->
+    n frame rows) and batch shape a real decoder produces."""
+    if decode not in ("fake", "real"):
+        raise ValueError("decode must be 'fake' or 'real'")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode == "real":
+                raise NotImplementedError(
+                    "real frame decode requires ffmpeg; not available in "
+                    "this environment — use decode='fake'"
+                )
+            ids, idxs, frames = [], [], []
+            for aid, raw in zip(pdf["asset_id"], pdf["data"]):
+                b = bytes(raw) if raw is not None else b""
+                step = max(1, len(b) // n_frames)
+                for i in range(n_frames):
+                    ids.append(int(aid))
+                    idxs.append(i)
+                    frames.append(b[i * step : (i + 1) * step])
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return df.select("asset_id", "data").mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+def resize_payloads(df: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize plumbing: binary asset -> fixed-size binary (byte-resampled
+    stand-in for image resize; the real path plugs a codec into the same
+    signature). Deterministic: evenly-strided byte sampling, zero-padded."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for raw in pdf["data"]:
+                b = bytes(raw) if raw is not None else b""
+                if len(b) >= target_bytes:
+                    idx = np.linspace(0, len(b) - 1, target_bytes).astype(int)
+                    out.append(np.frombuffer(b, dtype=np.uint8)[idx].tobytes())
+                else:
+                    out.append(b.ljust(target_bytes, b"\0"))
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "data": out,
+                }
+            )
+
+    return df.select("asset_id", "kind", "data").mapInPandas(
+        gen, schema="asset_id long, kind string, data binary"
+    )

@@ -39,3 +39,35 @@ def test_real_decode_is_stubbed(assets):
         extract_features(assets, decode="real").collect()
     with pytest.raises(ValueError):
         extract_features(assets, decode="nope")
+
+
+def test_sample_frames_dataflow(spark):
+    from smqtk_indexing_spark.operators.multimodal import sample_frames, to_assets
+
+    rows = [(1, "x" * 100), (2, "y" * 7), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, payload string")
+    assets = to_assets(df, "doc_id", "payload", "video")
+    frames = sample_frames(assets, n_frames=4).collect()
+    by_asset = {}
+    for r in frames:
+        by_asset.setdefault(r.asset_id, []).append(r)
+    assert set(by_asset) == {1, 2, 3}
+    assert all(len(v) == 4 for v in by_asset.values())
+    # deterministic
+    frames2 = sample_frames(assets, n_frames=4).collect()
+    assert sorted((r.asset_id, r.frame_idx, bytes(r.frame)) for r in frames) == \
+           sorted((r.asset_id, r.frame_idx, bytes(r.frame)) for r in frames2)
+    # real decode is an explicit stub
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    with _pytest.raises(Exception):
+        sample_frames(assets, decode="real").collect()
+
+
+def test_resize_payloads_fixed_width(spark):
+    from smqtk_indexing_spark.operators.multimodal import resize_payloads, to_assets
+
+    rows = [(1, "abcdefgh" * 50), (2, "tiny")]
+    df = spark.createDataFrame(rows, "doc_id long, payload string")
+    out = resize_payloads(to_assets(df, "doc_id", "payload", "image"), 32).collect()
+    assert all(len(bytes(r.data)) == 32 for r in out)
