@@ -325,10 +325,10 @@ several local parallelism levels, each level in a fresh JVM, shuffle on
 tmpfs, python worker pools warmed before the timed window. Best of N
 trials per level (this VM shows intermittent hypervisor noise — observed
 same-command swings up to 2x between trials minutes apart, with reported
-steal%% of 0-7; all trials and per-trial steal%% reported so quiet-window
+steal%% of 0-7; all trials and per-trial steal% reported so quiet-window
 bests are auditable).
 
-| parallelism | wall (s) | files/sec | clusters | trials (files/sec) | steal%% |
+| parallelism | wall (s) | files/sec | clusters | trials (files/sec) | steal% |
 |---|---|---|---|---|---|
 {_row('local[2]', r2)}
 {_row('local[4]', r4)}
@@ -355,7 +355,7 @@ embarrassingly parallel) itself swings between ~0.65 and ~1.03 efficiency
 for 8 -> 32 across runs, so any engine number in that regime inherits the
 same variance. The engine-attributable evidence is the 2 -> 8 pair plus
 the per-stage scaling table: the signature stage alone measures 1.03
-scaling efficiency 2 -> 8 with python workers at 97%% CPU saturation.
+scaling efficiency 2 -> 8 with python workers at 97% CPU saturation.
 
 | processes | kernel docs/sec |
 |---|---|
