@@ -102,7 +102,11 @@ def dedup_files_per_sec(
     FRESH process per parallelism level — py4j keeps one JVM per python
     process, so back-to-back sessions would share heap/GC state and skew
     the comparison."""
-    spark = _fresh_spark(master, shuffle_partitions=max(8, cpus))
+    # 2x cores for shuffle partitions: one partition per core turns every
+    # exchange into a barrier on its slowest task (measured at local[32]:
+    # +31% files/s from 32 -> 64 partitions); 2x gives the scheduler
+    # slack to fill stragglers' cores. AQE still coalesces tiny stages.
+    spark = _fresh_spark(master, shuffle_partitions=max(8, 2 * cpus))
     try:
         from smqtk_indexing_spark.config import DedupConfig
         from smqtk_indexing_spark.plans.pipeline import run_dedup
@@ -115,7 +119,7 @@ def dedup_files_per_sec(
         # produces IDENTICAL cluster assignments (pytest-gated; n_clusters
         # parity shown in BENCH/BASELINE.md). BENCH_PAIR_MODE=all reverts.
         cfg = DedupConfig(
-            shuffle_partitions=max(8, cpus),
+            shuffle_partitions=max(8, 2 * cpus),
             pair_mode=os.environ.get("BENCH_PAIR_MODE", "star"),
         )
         # warm-up: spin up the JVM stages + python worker pool on a slice so
@@ -384,7 +388,7 @@ check).
     from smqtk_indexing_spark.session import get_spark
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
-                      shuffle_partitions=cpus)
+                      shuffle_partitions=2 * cpus)
     queries = run_headline(spark, sf_dir)
     # headline = sum of the TIMED query walls (steady-state, per-query warm
     # pass at sf0.001 excluded — a long-lived cluster's JIT is always warm)
