@@ -308,6 +308,87 @@ def q_rp_hamming128_cert(spark, sf_dir):
     )
 
 
+def _itq_codes(spark, sf_dir):
+    # P2-P4: fit ITQ (PCA + Procrustes, reference impls/lsh_functor/
+    # itq.py:291-387) on a deterministic bounded sample, then one
+    # Arrow-batched apply (itq.py:389-408). bits = 64 = the descriptor
+    # dim: ITQ's PCA caps bits <= dim (the reference raises the same
+    # error, itq.py:318-321), so the >64-bit multi-word code path is
+    # driver-gated via rp_hamming128_* instead (projections have no cap).
+    from smqtk_indexing_spark.operators.itq import itq_fit, itq_hash_codes
+
+    emb = _emb(spark, sf_dir)
+    model = itq_fit(emb, bits=64, n_iter=50, seed=CFG.seed, max_sample=4096)
+    return itq_hash_codes(emb, model), emb
+
+
+def q_itq_hamming_topk(spark, sf_dir):
+    # the reference's flagship functor end-to-end: ITQ codes + Hamming
+    # ranking (hash-state-dependent -> rows-only oracle; see itq_cert)
+    codes, _ = _itq_codes(spark, sf_dir)
+    return ann.hamming_topk(codes, k=TOPK, sig_col="itq_code")
+
+
+def q_itq_cert(spark, sf_dir):
+    # certificate: k rows per vector, every reported score equals the
+    # independently recomputed Hamming/64 over the code table, ranks
+    # monotone — same oracle form as rp_hamming_cert.
+    from pyspark.sql import Window as W
+
+    codes, _ = _itq_codes(spark, sf_dir)
+    topk = ann.hamming_topk(codes, k=TOPK, sig_col="itq_code")
+    sa = codes.select(F.col("vec_id").alias("query_id"), F.col("itq_code").alias("sa"))
+    sb = codes.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("itq_code").alias("sb")
+    )
+    j = (
+        topk.join(sa, "query_id")
+        .join(sb, "neighbor_id")
+        .withColumn(
+            "true_score",
+            F.round(M.hamming64("sa", "sb").cast("double") / F.lit(64.0), 6),
+        )
+    )
+    n_rows = topk.count()
+    n_score_mismatch = j.where(
+        F.abs(F.col("score") - F.col("true_score")) > 1e-9
+    ).count()
+    win = W.partitionBy("query_id").orderBy("rank")
+    bad = F.lead("score").over(win) < F.col("score")
+    n_rank_violations = topk.withColumn("bad", bad).where("bad").count()
+    return spark.createDataFrame(
+        [(n_rows, n_score_mismatch, n_rank_violations)],
+        "n_rows long, n_score_mismatch long, n_rank_violations long",
+    )
+
+
+def q_index_lifecycle(spark, sf_dir):
+    # S1-S3 + S6 driver-gated: deterministic counts through a
+    # build -> duplicate-insert (skip) -> remove sequence
+    # (interfaces/nearest_neighbor_index.py:43-124; duplicate-insert
+    # warn+skip per impls/nn_index/faiss.py:590-598). The removal batch is
+    # a FIXED small id list — the reference's remove() takes a driver-side
+    # uuid iterable by contract, so no unbounded collect is involved.
+    from smqtk_indexing_spark.operators import incremental as IX
+
+    docs = _docs(spark, sf_dir)
+    sigs = IX.build_index(docs.where(F.col("doc_id") % 2 == 0), CFG)
+    n_build = IX.count(sigs)
+    # update with the FULL corpus: even ids are duplicate inserts (skipped)
+    sigs = IX.update_index(sigs, docs, CFG)
+    n_update = IX.count(sigs)
+    sigs = IX.remove_from_index(sigs, [0, 2, 4, 6, 8])
+    n_removed = IX.count(sigs)
+    return spark.createDataFrame(
+        [
+            ("n_after_build", n_build),
+            ("n_after_dup_insert", n_update),
+            ("n_after_remove", n_removed),
+        ],
+        "step string, value long",
+    )
+
+
 def q_ann_mrpt_topk(spark, sf_dir):
     # MRPT tree-ensemble candidates + exact re-rank (mrpt.py J7/A5 analog)
     from smqtk_indexing_spark.operators.mrpt import mrpt_topk
@@ -603,6 +684,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rp_hamming_cert": q_rp_hamming_cert,
         "rp_hamming128_topk": q_rp_hamming128_topk,
         "rp_hamming128_cert": q_rp_hamming128_cert,
+        "itq_hamming_topk": q_itq_hamming_topk,
+        "itq_cert": q_itq_cert,
+        "index_lifecycle": q_index_lifecycle,
         "minhash_estimate_accuracy": q_minhash_estimate_accuracy,
         "fingerprint_properties": q_fingerprint_properties,
         "multimodal_features": q_multimodal_features,
@@ -841,6 +925,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_score_mismatch,
                    CAST(0 AS BIGINT) AS n_rank_violations
             FROM embeddings
+        """,
+        "itq_cert": f"""
+            SELECT (count(*) * {TOPK})::BIGINT AS n_rows,
+                   CAST(0 AS BIGINT) AS n_score_mismatch,
+                   CAST(0 AS BIGINT) AS n_rank_violations
+            FROM embeddings
+        """,
+        # lifecycle counts recomputed from the raw table: build indexes the
+        # even ids; the full-corpus update skips even (duplicate) inserts
+        # and adds the odd ids; the remove drops the 5 listed ids.
+        "index_lifecycle": """
+            SELECT 'n_after_build' AS step, count(*)::BIGINT AS value
+            FROM documents WHERE doc_id % 2 = 0
+            UNION ALL
+            SELECT 'n_after_dup_insert', count(*)::BIGINT FROM documents
+            UNION ALL
+            SELECT 'n_after_remove', (count(*) - 5)::BIGINT FROM documents
         """,
         # estimator accuracy: every pair DuckDB finds at exact Jaccard >=
         # 0.5 must have a 128-perm MinHash agreement within 0.15 (>3.4

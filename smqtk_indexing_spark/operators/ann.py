@@ -170,12 +170,12 @@ def hamming_topk_words(sigs: DataFrame, k: int = 5, bits: int = 128) -> DataFram
     return _ranked(p, dist, k, ascending=True)
 
 
-def hamming_topk(sigs: DataFrame, k: int = 5) -> DataFrame:
-    """Brute-force Hamming top-k over (vec_id, rp_sig) — the J5 theta-join
+def hamming_topk(sigs: DataFrame, k: int = 5, sig_col: str = "rp_sig") -> DataFrame:
+    """Brute-force Hamming top-k over (vec_id, <sig_col>) — the J5 theta-join
     (``impls/hash_index/linear.py:231-244``), normalized distance as at
-    ``linear.py:241-243``."""
-    a = sigs.select(F.col("vec_id").alias("query_id"), F.col("rp_sig").alias("sa"))
-    b = sigs.select(F.col("vec_id").alias("neighbor_id"), F.col("rp_sig").alias("sb"))
+    ``linear.py:241-243``. Works over any 64-bit code column (RP or ITQ)."""
+    a = sigs.select(F.col("vec_id").alias("query_id"), F.col(sig_col).alias("sa"))
+    b = sigs.select(F.col("vec_id").alias("neighbor_id"), F.col(sig_col).alias("sb"))
     p = a.crossJoin(F.broadcast(b)).where(F.col("query_id") != F.col("neighbor_id"))
     dist = M.hamming64("sa", "sb").cast("double") / F.lit(64.0)
     return _ranked(p, dist, k, ascending=True)

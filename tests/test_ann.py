@@ -3,6 +3,7 @@ Hamming scan semantics (linear.py:206-244 analog)."""
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from smqtk_indexing_spark import kernels as K
 from smqtk_indexing_spark.operators import ann
@@ -184,6 +185,47 @@ def test_balltree_topk_matches_euclidean(spark, emb):
             for r in balltree_topk(df.repartition(nparts), k=3).collect()
         }
         assert got == want, nparts
+
+
+def test_balltree_allpairs_grid_sides(spark, emb):
+    # the 2D block grid must be exact at any grid side (every pair meets in
+    # exactly one cell)
+    from smqtk_indexing_spark.operators.balltree import balltree_topk_allpairs
+
+    df, _vecs = emb
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, r.score)
+        for r in ann.euclidean_topk(df, k=3).collect()
+    }
+    for g in (1, 2, 5):
+        got = {
+            (r.query_id, r.neighbor_id, r.rank, r.score)
+            for r in balltree_topk_allpairs(df, k=3, grid_side=g).collect()
+        }
+        assert got == want, g
+
+
+def test_balltree_query_batch_and_cap(spark, emb):
+    # explicit query batch: broadcast path, exact against the full corpus;
+    # oversized batches must raise instead of collecting unbounded data
+    import pytest
+
+    from smqtk_indexing_spark.operators.balltree import balltree_topk
+
+    df, _vecs = emb
+    qs = df.where(F.col("vec_id") < 4)
+    got = {
+        (r.query_id, r.neighbor_id, r.rank, r.score)
+        for r in balltree_topk(df, queries=qs, k=3).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank, r.score)
+        for r in ann.euclidean_topk(df, k=3).collect()
+        if r.query_id < 4
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="max_query_rows"):
+        balltree_topk(df, queries=df, k=3, max_query_rows=3)
 
 
 def test_cosine_dup_pairs_banded_recall(spark):
