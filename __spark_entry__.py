@@ -103,13 +103,20 @@ def _lsh_pairs(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     sigs = compute_signatures(docs, CFG, include=("bands",))
     cand = candidate_pairs(band_buckets(sigs, CFG), CFG).persist()
-    cand_ids = (
-        cand.select(F.col("a").alias("doc_id"))
-        .unionAll(cand.select(F.col("b").alias("doc_id")))
-        .distinct()
-    )
-    cand_docs = docs.join(cand_ids.hint("shuffle_hash"), "doc_id", "left_semi")
-    return verify_pairs(cand, compute_shingle_arrays(cand_docs, CFG), CFG)
+    try:
+        cand_ids = (
+            cand.select(F.col("a").alias("doc_id"))
+            .unionAll(cand.select(F.col("b").alias("doc_id")))
+            .distinct()
+        )
+        cand_docs = docs.join(cand_ids.hint("shuffle_hash"), "doc_id", "left_semi")
+        out = verify_pairs(cand, compute_shingle_arrays(cand_docs, CFG), CFG)
+        # materialize the (small, tau-filtered) pair set NOW so the big
+        # candidate cache is released before returning — no cached
+        # intermediates survive a queries() run (round-2 VERDICT item 8)
+        return out.localCheckpoint(eager=True)
+    finally:
+        cand.unpersist()
 
 
 def q_near_dup_pairs_lsh(spark, sf_dir):
@@ -850,7 +857,7 @@ def oracle_sql() -> dict[str, str]:
                         THEN len(list_filter(ts, x -> list_contains([{stop_list}], x)))::DOUBLE / len(ts)
                         ELSE 0.0 END AS stopword_ratio,
                    CASE WHEN length(text) > 0
-                        THEN length(regexp_replace(text, '[^\\s]', '', 'g'))::DOUBLE / length(text)
+                        THEN length(regexp_replace(text, '[^ \t\n\x0B\f\r]', '', 'g'))::DOUBLE / length(text)
                         ELSE 0.0 END AS ws_ratio,
                    CASE WHEN len(ts) > 0
                         THEN len(list_distinct(ts))::DOUBLE / len(ts)

@@ -57,6 +57,18 @@ class DedupConfig:
     cdc_window: int = 8           # rolling-hash window (chars)
     cdc_mask_bits: int = 4        # boundary when low bits == 0 -> avg chunk 2^bits
     min_containee_chars: int = 32  # containment detection floor
+    # short-containee handling (operators/substrings.py): containees the
+    # coarse CDC join cannot anchor are broadcast-NLJ'd only while their
+    # count stays <= short_nlj_cap; above it they are re-anchored with a
+    # FINE CDC pass (window cdc_window_fine, avg chunk 2^cdc_mask_bits_fine
+    # chars — the smaller window matters as much as the mask: cuts can only
+    # occur >= window chars in, so window 4 anchors ~12-char docs) and only
+    # the ultra-short residue (< 3 fine chunks, i.e. < ~3*window chars)
+    # ever reaches the NLJ — bounding the NLJ side on short-text-heavy
+    # corpora (round-2 VERDICT item 3)
+    cdc_window_fine: int = 4
+    cdc_mask_bits_fine: int = 2
+    short_nlj_cap: int = 4096
     # --- misc ---
     shuffle_partitions: int = 32
 

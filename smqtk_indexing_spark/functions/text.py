@@ -70,9 +70,12 @@ def punct_ratio(col) -> Column:
 
 
 def whitespace_ratio(col) -> Column:
+    # explicit negated ASCII class, NOT [^\s]: Java \s includes \x0B while
+    # RE2's does not, so the shared class keeps this twin byte-identical to
+    # the DuckDB oracle on vertical-tab-bearing documents (round-2 ADVICE)
     c = _to_col(col)
     n = F.length(c)
-    w = F.length(F.regexp_replace(c, r"[^\s]", ""))
+    w = F.length(F.regexp_replace(c, r"[^ \t\n\x0B\f\r]", ""))
     return F.when(n > 0, w.cast("double") / n).otherwise(F.lit(0.0))
 
 

@@ -65,15 +65,62 @@ def hash_str64(s: str) -> int:
     return int(mix64(np.array([acc], dtype=U64))[0])
 
 
-def hash_strs64(strings, cache: dict | None = None) -> np.ndarray:
+def _fold_padded(bts: list, lens: np.ndarray) -> np.ndarray:
+    """Polynomial fold of a list of byte strings via ONE right-padded
+    (n, w) uint8 matrix: column-wise Horner computes every padded hash
+    simultaneously; the NUL padding is cancelled exactly by multiplying
+    with ``P^-pad`` (P is odd, hence invertible mod 2^64). Returns the raw
+    accumulators (length not yet mixed in)."""
+    n = len(bts)
+    arr = np.array(bts, dtype=np.bytes_)  # 'S<w>', right-padded with NULs
+    w = arr.dtype.itemsize
+    m = np.ascontiguousarray(arr).view(np.uint8).reshape(n, w).astype(U64)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(n, dtype=U64)
+        for j in range(w):
+            acc = acc * _POLY + m[:, j]
+        pinv_pows = np.ones(w + 1, dtype=U64)
+        np.cumprod(np.full(w, _POLY_INV, dtype=U64), out=pinv_pows[1:])
+        return acc * pinv_pows[w - lens]
+
+
+_FOLD_CHUNK = 1 << 20
+
+
+def _fold_bytes_long(data: bytes) -> np.uint64:
+    """Chunked vectorized Horner fold of ONE (arbitrarily long) byte string
+    — the outlier path for tokens too big to batch (minified JS, base64
+    blobs). O(len) work, O(chunk) memory, bit-identical to the batch fold."""
+    acc = U64(0)
+    with np.errstate(over="ignore"):
+        for off in range(0, len(data), _FOLD_CHUNK):
+            chunk = np.frombuffer(
+                data[off : off + _FOLD_CHUNK], dtype=np.uint8
+            ).astype(U64)
+            m = len(chunk)
+            # descending powers P^(m-1) .. P^0
+            pows = np.ones(m, dtype=U64)
+            np.cumprod(np.full(m - 1, _POLY, dtype=U64), out=pows[1:])
+            acc = acc * U64(pow(int(_POLY), m, 1 << 64)) + (
+                chunk * pows[::-1]
+            ).sum()
+    return acc
+
+
+def hash_strs64(strings, cache: dict | None = None, long_token_bytes: int = 8192) -> np.ndarray:
     """Vector of stable 64-bit hashes — FULLY vectorized (no per-token
     Python hashing; this is the signature-stage hot loop at corpus scale).
 
-    The batch is right-padded into one (n, w) uint8 matrix; a column-wise
-    polynomial fold computes every token's padded hash simultaneously, and
-    the padding is cancelled exactly by multiplying with ``P^-pad`` (P is
-    odd, hence invertible mod 2^64). Token length is mixed in before the
-    splitmix64 finalizer, so left-extension collisions are impossible.
+    Tokens are grouped into GEOMETRIC LENGTH BUCKETS (width doubles per
+    bucket) and each bucket is folded via its own right-padded matrix —
+    padding waste is bounded at 2x the bucket's real bytes, so one long
+    whitespace-free outlier (minified JS, a base64 blob) can no longer
+    inflate the whole batch to an n_tokens x max_len allocation (round-2
+    ADVICE: executor-OOM hazard). Tokens above ``long_token_bytes`` take a
+    chunked per-token fold instead (O(len) work, O(1 MiB) memory). All
+    paths are bit-identical: polynomial fold over the UTF-8 bytes, length
+    mixed in, splitmix64 finalizer — so left-extension collisions are
+    impossible.
 
     ``cache`` is accepted for backwards compatibility and ignored —
     callers should dedupe tokens batch-wide (pd.factorize) instead.
@@ -85,19 +132,20 @@ def hash_strs64(strings, cache: dict | None = None) -> np.ndarray:
         s.encode("utf-8") if isinstance(s, str) else bytes(s) for s in strings
     ]
     lens = np.fromiter(map(len, bts), dtype=np.int64, count=n)
-    arr = np.array(bts, dtype=np.bytes_)  # 'S<w>', right-padded with NULs
-    w = arr.dtype.itemsize
-    if int(lens.max()) == 0:
-        return mix64(np.zeros(n, dtype=U64))  # all-empty: acc=0, len=0
-    m = np.ascontiguousarray(arr).view(np.uint8).reshape(n, w).astype(U64)
+    acc = np.zeros(n, dtype=U64)
+    if int(lens.max()) > 0:
+        # bucket key = bit_length of the token length: widths within a
+        # bucket are within 2x, so padded bytes <= 2x real bytes
+        keys = np.zeros(n, dtype=np.int64)
+        nz = lens > 0
+        keys[nz] = np.int64(np.ceil(np.log2(lens[nz] + 1)))
+        long = lens > long_token_bytes
+        for key in np.unique(keys[nz & ~long]):
+            idx = np.nonzero((keys == key) & nz & ~long)[0]
+            acc[idx] = _fold_padded([bts[i] for i in idx], lens[idx])
+        for i in np.nonzero(long)[0]:
+            acc[i] = _fold_bytes_long(bts[i])
     with np.errstate(over="ignore"):
-        acc = np.zeros(n, dtype=U64)
-        for j in range(w):
-            acc = acc * _POLY + m[:, j]
-        # cancel the NUL padding: acc_true = acc_padded * P^-(w - len)
-        pinv_pows = np.ones(w + 1, dtype=U64)
-        np.cumprod(np.full(w, _POLY_INV, dtype=U64), out=pinv_pows[1:])
-        acc = acc * pinv_pows[w - lens]
         return mix64(acc * _POLY + lens.astype(U64))
 
 

@@ -123,17 +123,34 @@ def containment_candidates_rarest(
     )
 
 
-def containment_candidates(chunks: DataFrame, cfg: DedupConfig) -> DataFrame:
+def containment_candidates(
+    chunks: DataFrame,
+    cfg: DedupConfig,
+    inner_ids: DataFrame | None = None,
+    min_chars: int | None = None,
+) -> DataFrame:
     """(inner, outer) candidates where every interior chunk of ``inner``
-    appears in ``outer``'s chunk set and ``inner`` is strictly shorter."""
+    appears in ``outer``'s chunk set and ``inner`` is strictly shorter.
+
+    ``inner_ids`` (single ``doc_id`` column) restricts the containee side —
+    used by the fine-grain escalation pass, where only the coarse pass's
+    blind spots need re-anchoring. ``min_chars`` overrides the config floor
+    (the fine pass uses 0: no floor, chunk count is the only gate)."""
+    floor = cfg.min_containee_chars if min_chars is None else min_chars
     inner = (
-        chunks.where(F.col("is_interior") & (F.col("n_chars") >= cfg.min_containee_chars))
+        chunks.where(F.col("is_interior") & (F.col("n_chars") >= floor))
         .select(
             F.col("doc_id").alias("inner"),
             F.col("n_chars").alias("inner_chars"),
             "chunk_hash",
         )
     )
+    if inner_ids is not None:
+        inner = inner.join(
+            inner_ids.select(F.col(inner_ids.columns[0]).alias("inner")),
+            "inner",
+            "left_semi",
+        )
     n_interior = inner.groupBy("inner").agg(F.count("*").alias("n_int"))
     outer = chunks.select(
         F.col("doc_id").alias("outer"),
@@ -156,6 +173,17 @@ def containment_candidates(chunks: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
+def _nlj_contains(short: DataFrame, t: DataFrame) -> DataFrame:
+    """Broadcast ``contains`` scan of a SMALL containee set against every
+    longer document (BroadcastNestedLoopJoin) — the exact last-resort leg."""
+    outer = t.select(F.col("did").alias("outer"), F.col("t").alias("t_out"))
+    return outer.join(
+        F.broadcast(short),
+        (F.length("t_in") < F.length("t_out"))
+        & F.col("t_out").contains(F.col("t_in")),
+    ).select("inner", "outer")
+
+
 def short_containee_pairs(
     chunks: DataFrame,
     df: DataFrame,
@@ -163,16 +191,23 @@ def short_containee_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """Exact containment pairs for containees the CDC anchor join cannot see:
-    documents with no interior chunk (< 3 chunks) or shorter than
-    ``cfg.min_containee_chars``.
+    """Exact containment pairs for containees the coarse CDC anchor join
+    cannot see: documents with no interior chunk (< 3 chunks) or shorter
+    than ``cfg.min_containee_chars``.
 
-    Those documents are, by construction, shorter than ~2 average chunk
-    lengths — a vanishing fraction of any real corpus — so they form a small
-    side that is broadcast and matched with a JVM-side ``contains`` against
-    every longer document (BroadcastNestedLoopJoin). Together with the CDC
-    path this makes ``substring_pairs`` EXACT: every proper containment is
-    found by exactly one of the two paths (disjoint containee sets).
+    The NLJ side is BOUNDED (round-2 VERDICT item 3): the short set is
+    counted first. Up to ``cfg.short_nlj_cap`` docs it is broadcast and
+    matched with a JVM-side ``contains`` against every longer document —
+    correct when shorts are the vanishing fraction (source-code corpora).
+    On short-text-heavy corpora (chat turns, titles) the count trips the
+    cap and the shorts are re-anchored by a FINE CDC pass
+    (``cfg.cdc_mask_bits_fine``, avg chunk 2^bits chars) over the whole
+    corpus — one extra O(corpus) chunk pass + the same scalable equi-join,
+    instead of an O(short x corpus) NLJ. Only the ultra-short residue
+    (still < 3 chunks at fine granularity, i.e. a few characters) falls
+    through to the NLJ. Together with the coarse path this keeps
+    ``substring_pairs`` EXACT: every proper containment is found by
+    exactly one leg (disjoint containee sets).
     """
     detectable = chunks.where(
         F.col("is_interior") & (F.col("n_chars") >= cfg.min_containee_chars)
@@ -184,15 +219,37 @@ def short_containee_pairs(
         t.join(detectable.withColumnRenamed("doc_id", "did"), "did", "left_anti")
         .select(F.col("did").alias("inner"), F.col("t").alias("t_in"))
     )
-    outer = t.select(F.col("did").alias("outer"), F.col("t").alias("t_out"))
-    return (
-        outer.join(
-            F.broadcast(short),
-            (F.length("t_in") < F.length("t_out"))
-            & F.col("t_out").contains(F.col("t_in")),
-        )
-        .select("inner", "outer")
+    n_short = short.count()
+    if n_short <= cfg.short_nlj_cap:
+        return _nlj_contains(short, t)
+    # escalation: fine-grain CDC over the whole corpus; containee side
+    # restricted to the coarse pass's blind spots, no length floor
+    from dataclasses import replace
+
+    fine_cfg = replace(
+        cfg,
+        cdc_window=cfg.cdc_window_fine,
+        cdc_mask_bits=cfg.cdc_mask_bits_fine,
     )
+    fine_chunks = cdc_chunks(df, fine_cfg, id_col, text_col).persist()
+    try:
+        short_ids = short.select(F.col("inner").alias("doc_id"))
+        cand = containment_candidates(
+            fine_chunks, fine_cfg, inner_ids=short_ids, min_chars=0
+        )
+        anchored = verify_containment(cand, df, id_col, text_col)
+        # residue: shorts with no interior chunk even at fine granularity
+        fine_detectable = (
+            fine_chunks.where(F.col("is_interior"))
+            .select(F.col("doc_id").alias("inner"))
+            .distinct()
+        )
+        residue = short.join(fine_detectable, "inner", "left_anti")
+        out = anchored.unionByName(_nlj_contains(residue, t))
+        # materialize before releasing the fine chunk cache
+        return out.localCheckpoint(eager=True)
+    finally:
+        fine_chunks.unpersist()
 
 
 def verify_containment(
@@ -230,24 +287,35 @@ def substring_pairs(
     corpora) or 'rarest' (rarest-chunk anchor join; the 100 TB path).
 
     With ``short_path`` (default), containees invisible to the CDC join
-    (no interior chunk / below the length floor) are matched exactly via a
-    broadcast ``contains`` pass, making the union EXACT — same semantics as
-    the full SQL oracle, no length floor."""
+    (no interior chunk / below the length floor) are matched exactly via the
+    bounded short-containee leg (broadcast ``contains`` under
+    ``cfg.short_nlj_cap``, fine-CDC escalation above it), making the union
+    EXACT — same semantics as the full SQL oracle, no length floor. The
+    short path materializes the (small) verified pair set eagerly so the
+    persisted chunk cache is released before returning (round-2 VERDICT
+    item 8: no cached intermediates survive a ``queries()`` run)."""
     chunks = cdc_chunks(df, cfg, id_col, text_col)
-    if short_path:
-        # chunks feeds BOTH the candidate branch and the short-containee
-        # anti-join; persist so the CDC mapInPandas pass runs once
-        chunks = chunks.persist()
-    if mode == "rarest":
-        cand = containment_candidates_rarest(chunks, cfg, df_cap)
-    else:
-        cand = containment_candidates(chunks, cfg)
-    pairs = verify_containment(cand, df, id_col, text_col)
-    if short_path:
+    if not short_path:
+        if mode == "rarest":
+            cand = containment_candidates_rarest(chunks, cfg, df_cap)
+        else:
+            cand = containment_candidates(chunks, cfg)
+        return verify_containment(cand, df, id_col, text_col)
+    # chunks feeds BOTH the candidate branch and the short-containee
+    # anti-join; persist so the CDC mapInPandas pass runs once
+    chunks = chunks.persist()
+    try:
+        if mode == "rarest":
+            cand = containment_candidates_rarest(chunks, cfg, df_cap)
+        else:
+            cand = containment_candidates(chunks, cfg)
+        pairs = verify_containment(cand, df, id_col, text_col)
         pairs = pairs.unionByName(
             short_containee_pairs(chunks, df, cfg, id_col, text_col)
         )
-    return pairs
+        return pairs.localCheckpoint(eager=True)
+    finally:
+        chunks.unpersist()
 
 
 def substring_pairs_within_partitions(

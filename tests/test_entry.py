@@ -35,6 +35,22 @@ def test_oracle_keys_subset_of_queries():
     assert "minhash_signatures" in qs and "minhash_signatures" not in os_
 
 
+def test_whitespace_ratio_vertical_tab_matches_oracle(spark):
+    # round-2 ADVICE: Java \s includes \x0B, RE2 \s does not — the shared
+    # explicit class must keep the twins identical on \x0B-bearing docs
+    from smqtk_indexing_spark.functions import text as TX
+
+    doc = "a\x0bb \tc\x0b"
+    df = spark.createDataFrame([(1, doc)], "doc_id long, text string")
+    got = df.select(TX.whitespace_ratio("text").alias("r")).first()["r"]
+    want = duckdb.execute(
+        "SELECT length(regexp_replace(?, '[^ \t\n\x0B\f\r]', '', 'g'))::DOUBLE"
+        " / length(?)",
+        [doc, doc],
+    ).fetchone()[0]
+    assert got == want == 4 / 7
+
+
 @pytest.mark.parametrize("name", FAST_ORACLE_QUERIES)
 def test_fast_queries_match_duckdb_sf0001(spark, name, sf001_dir):
     import math

@@ -52,6 +52,29 @@ def test_shingle_order_sensitivity():
     assert set(K.text_shingles("a b c d", 4)) != set(K.text_shingles("d c b a", 4))
 
 
+def test_hash_strs64_length_buckets_and_long_tokens():
+    # round-2 ADVICE: one long whitespace-free token in a batch must not
+    # inflate the padded matrix to n_tokens x max_len (executor OOM). The
+    # bucketed batch path and the chunked long-token path must both stay
+    # bit-identical to the scalar twin — including empties, boundary
+    # widths, and tokens straddling the long_token_bytes cutoff.
+    rng = np.random.default_rng(3)
+    toks = ["", "a", "ab", "x" * 63, "y" * 64, "z" * 8192, "w" * 8193,
+            "long" * 5000] + [
+        "t" * int(n) for n in rng.integers(0, 300, size=200)
+    ]
+    got = K.hash_strs64(toks)
+    want = np.array([K.hash_str64(t) for t in toks], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+    # memory bound: 10 MB outlier among 100k short tokens — the old
+    # pad-to-max path would allocate ~8 TB here; the bucketed path is
+    # linear in real bytes (would MemoryError long before finishing)
+    big = [f"tok{i}" for i in range(100_000)] + ["Q" * 10_000_000]
+    out = K.hash_strs64(big)
+    assert int(out[0]) == K.hash_str64("tok0")
+    assert int(out[-1]) == K.hash_str64("Q" * 10_000_000)
+
+
 def test_minhash_identical_and_estimate():
     cfg = DedupConfig()
     a, b = K.make_minhash_perms(cfg.num_perm, cfg.seed)

@@ -61,6 +61,62 @@ def test_short_containees_found(spark):
     assert (1, 3) in got and (2, 3) in got and (2, 4) in got
 
 
+def test_short_heavy_corpus_escalates_and_stays_exact(spark):
+    # short-text-heavy corpus (chat turns / titles): the short side trips
+    # short_nlj_cap, the fine-CDC escalation re-anchors the shorts, and the
+    # union stays EXACT. Also proves the NLJ side is bounded: the residue
+    # handed to the broadcast-contains leg is only the ultra-short docs
+    # with < 3 chunks at fine granularity, a strict subset of the shorts.
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from smqtk_indexing_spark.operators.substrings import cdc_chunks
+
+    rows = []
+    # 80 short docs (well under min_containee_chars at coarse granularity)
+    for i in range(80):
+        rows.append((i, f"short message number {i} ok"))
+    # a handful of tiny docs that stay unanchorable even at fine chunks
+    for i in range(80, 85):
+        rows.append((i, f"t{i}"))
+    # 20 long containers, each embedding two of the short docs
+    for i in range(100, 120):
+        a, b = (i - 100) * 4 % 80, ((i - 100) * 4 + 1) % 80
+        rows.append(
+            (i,
+             f"container head padding {'x' * 40} short message number {a} ok "
+             f"middle filler {'y' * 40} short message number {b} ok tail t{80 + i % 5} end")
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    brute = {
+        (a, b)
+        for a, ta in rows
+        for b, tb in rows
+        if a != b and len(ta) < len(tb) and ta in tb
+    }
+    cfg = dataclasses.replace(CFG, short_nlj_cap=10)  # force escalation
+    got = [(r.inner, r.outer) for r in substring_pairs(df, cfg).collect()]
+    assert len(got) == len(set(got))
+    assert set(got) == brute
+    # bound check: residue (< 3 interior-bearing chunks at fine granularity)
+    # excludes every normal short doc — only the t## stubs may remain
+    fine_cfg = dataclasses.replace(
+        cfg, cdc_window=cfg.cdc_window_fine, cdc_mask_bits=cfg.cdc_mask_bits_fine
+    )
+    fine_detectable = {
+        r.doc_id
+        for r in cdc_chunks(df, fine_cfg)
+        .where(F.col("is_interior"))
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    residue = {i for i, t in rows if i not in fine_detectable}
+    assert residue <= {i for i, t in rows if len(t) < 12}
+    assert len(residue) <= 10  # the NLJ side stays under the cap
+
+
 def test_rarest_mode_equals_all_interior(spark, corpus):
     df, brute = corpus
     got = {
