@@ -421,6 +421,24 @@ def q_ann_mrpt_topk(spark, sf_dir):
     return mrpt_topk(_emb(spark, sf_dir), k=TOPK, n_trees=8, depth=4, seed=CFG.seed)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    # IVF scale path: k-means coarse quantizer + nprobe cell equi-join +
+    # exact cosine re-rank (centroids are model-state -> rows-only oracle;
+    # see ann_ivf_cert)
+    return ann.ivf_topk(_emb(spark, sf_dir), k=TOPK, seed=CFG.seed)
+
+
+def q_ann_ivf_cert(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return _ann_certificate(
+        spark,
+        ann.ivf_topk(emb, k=TOPK, seed=CFG.seed),
+        emb,
+        M.cosine_similarity,
+        False,
+    )
+
+
 def _ann_certificate(spark, topk, emb, score_col, ascending, k=TOPK):
     """Oracle-checkable correctness certificate for an approximate ANN
     query (VERDICT r1 item 4): DuckDB cannot recompute hash-dependent
@@ -675,6 +693,20 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
+def q_multimodal_decode(spark, sf_dir):
+    # REAL media decode end-to-end (stdlib codecs, no PIL/ffmpeg):
+    # deterministic PNG gradient + WAV ramp per doc are encoded to binary
+    # columns, decoded back, and their decoded-domain stats must equal the
+    # DuckDB closed form of the generator — pixel(y,x) = (id*7+3x+5y)%256,
+    # sample(t) = ((id*13+11t)%65536)-32768.
+    from smqtk_indexing_spark.operators.multimodal import decode_stats, synth_assets
+
+    assets = synth_assets(_docs(spark, sf_dir))
+    return decode_stats(assets).select(
+        "asset_id", "kind", "n_units", F.round("mean_val", 6).alias("mean_val")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: LSH near-dup pairs on sf0.001 (SURVEY.md §3.2)."""
     return q_near_dup_pairs_lsh(spark, "/root/testdata/sf0.001")
@@ -704,6 +736,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_rp_lsh_topk": q_ann_rp_lsh_topk,
         "rp_hamming_topk": q_rp_hamming_topk,
         "ann_mrpt_topk": q_ann_mrpt_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_cert": q_ann_ivf_cert,
         "ann_rp_lsh_cert": q_ann_rp_lsh_cert,
         "ann_mrpt_cert": q_ann_mrpt_cert,
         "rp_hamming_cert": q_rp_hamming_cert,
@@ -715,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_estimate_accuracy": q_minhash_estimate_accuracy,
         "fingerprint_properties": q_fingerprint_properties,
         "multimodal_features": q_multimodal_features,
+        "multimodal_decode": q_multimodal_decode,
         "token_freq_topk": q_token_freq_topk,
         "events_windowed_dedup": q_events_windowed_dedup,
         "events_type_stats": q_events_type_stats,
@@ -899,6 +934,30 @@ def oracle_sql() -> dict[str, str]:
                    256 AS n_dims
             FROM documents
         """,
+        # real-decode oracle: stats of the DECODED pixels/samples must
+        # equal the generator's closed form (encode->decode round trip
+        # through actual PNG/WAV byte streams in the Spark path)
+        "multimodal_decode": """
+            WITH px AS (
+              SELECT x, y
+              FROM generate_series(0, 23) t1(x), generate_series(0, 15) t2(y)
+            ),
+            img AS (
+              SELECT d.doc_id AS asset_id, 'image/png' AS kind,
+                     384::BIGINT AS n_units,
+                     round(avg((d.doc_id*7 + 3*x + 5*y) % 256), 6) AS mean_val
+              FROM documents d, px GROUP BY d.doc_id
+            ),
+            ts AS (SELECT t FROM generate_series(0, 255) g(t)),
+            aud AS (
+              SELECT d.doc_id AS asset_id, 'audio/wav' AS kind,
+                     256::BIGINT AS n_units,
+                     round(avg(((d.doc_id*13 + 11*t) % 65536) - 32768), 6)
+                         AS mean_val
+              FROM documents d, ts GROUP BY d.doc_id
+            )
+            SELECT * FROM img UNION ALL SELECT * FROM aud
+        """,
         "token_freq_topk": f"""
             SELECT token, count(*)::BIGINT AS freq
             FROM (SELECT unnest({_TOKS}) AS token FROM documents)
@@ -934,6 +993,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "ann_mrpt_cert": f"""
+            SELECT (count(*) * {TOPK})::BIGINT AS n_rows,
+                   CAST(0 AS BIGINT) AS n_score_mismatch,
+                   CAST(0 AS BIGINT) AS n_rank_violations
+            FROM embeddings
+        """,
+        "ann_ivf_cert": f"""
             SELECT (count(*) * {TOPK})::BIGINT AS n_rows,
                    CAST(0 AS BIGINT) AS n_score_mismatch,
                    CAST(0 AS BIGINT) AS n_rank_violations

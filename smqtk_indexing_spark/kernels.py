@@ -731,3 +731,61 @@ def sha256_hex(text: str) -> str:
     """Per-row content invariant (BASELINE.json input_hint): must equal both
     Spark's ``sha2(encode(content,'utf-8'),256)`` and DuckDB's ``sha256``."""
     return hashlib.sha256(text.encode("utf-8")).hexdigest()
+
+
+# ---------------------------------------------------------------------------
+# IVF coarse quantizer — seeded Lloyd k-means on a training sample. The
+# centroid table is the broadcastable model of the IVF ANN path
+# (operators/ann.py::ivf_topk): same train-on-sample / apply-batched shape as
+# the reference's MRPT model (``impls/nn_index/mrpt.py:243-266``), with cells
+# instead of tree leaves. Deterministic given (input order, seed).
+# ---------------------------------------------------------------------------
+
+def kmeans_fit(
+    x: np.ndarray, n_cells: int, n_iter: int = 25, seed: int = 0
+) -> np.ndarray:
+    """(n, d) sample -> (n_cells, d) centroids. Plain Lloyd with seeded
+    init (distinct random rows); empty cells re-seeded deterministically
+    from the farthest points so every centroid stays live."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[0]
+    if n_cells > n:
+        raise ValueError(f"kmeans_fit: n_cells {n_cells} > sample size {n}")
+    rng = np.random.default_rng(seed)
+    cent = x[rng.choice(n, size=n_cells, replace=False)].copy()
+    for _ in range(n_iter):
+        d2 = (
+            (x * x).sum(axis=1)[:, None]
+            - 2.0 * (x @ cent.T)
+            + (cent * cent).sum(axis=1)[None, :]
+        )
+        assign = d2.argmin(axis=1)
+        moved = False
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                nc = members.mean(axis=0)
+            else:  # re-seed a dead cell on the globally farthest point
+                nc = x[d2.min(axis=1).argmax()]
+            if not np.array_equal(nc, cent[c]):
+                cent[c] = nc
+                moved = True
+        if not moved:
+            break
+    return cent
+
+
+def kmeans_assign(x: np.ndarray, cent: np.ndarray, nprobe: int = 1) -> np.ndarray:
+    """(n, d) rows -> (n, nprobe) nearest-centroid indices (ascending
+    distance; column 0 is the home cell)."""
+    x = np.asarray(x, dtype=np.float64)
+    d2 = (
+        (x * x).sum(axis=1)[:, None]
+        - 2.0 * (x @ cent.T)
+        + (cent * cent).sum(axis=1)[None, :]
+    )
+    nprobe = min(nprobe, cent.shape[0])
+    idx = np.argpartition(d2, nprobe - 1, axis=1)[:, :nprobe]
+    rows = np.arange(x.shape[0])[:, None]
+    order = np.argsort(d2[rows, idx], axis=1, kind="stable")
+    return idx[rows, order]

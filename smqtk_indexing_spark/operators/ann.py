@@ -307,6 +307,74 @@ def cosine_dup_pairs_banded(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_iter: int = 25,
+    seed: int = 42,
+    max_sample: int = 100_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer -> inverted cell lists -> nprobe
+    cell equi-join -> exact cosine re-rank.
+
+    Train/apply shape mirrors the MRPT path (train on a bounded
+    deterministic sample on the driver, broadcast the tiny centroid model,
+    assign in one Arrow-batched matmul — ``impls/nn_index/mrpt.py:243-266``
+    analog with cells instead of tree leaves). Each corpus vector lives in
+    exactly ONE cell, so the candidate join needs no distinct (unlike
+    LSH banding, a pair can only meet in the neighbor's home cell).
+    Approximate: a true neighbor outside the query's ``nprobe`` nearest
+    cells is missed — the standard IVF recall/nprobe trade, pytest
+    recall-gated. Scale: candidates per query ~ nprobe/n_cells of the
+    corpus; grow ``n_cells`` with sqrt(n) to hold the ratio."""
+    from smqtk_indexing_spark.operators.sample import bounded_sample
+
+    rows = bounded_sample(emb.select(vec_col), max_sample, seed=seed).collect()
+    cent = K.kmeans_fit(
+        np.asarray([r[0] for r in rows], dtype=np.float64),
+        n_cells,
+        n_iter=n_iter,
+        seed=seed,
+    )
+    b_cent = emb.sparkSession.sparkContext.broadcast(cent)
+
+    def assign(batches):
+        c = b_cent.value
+        for pdf in batches:
+            x = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            probes = K.kmeans_assign(x, c, nprobe=nprobe)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf[id_col].astype("int64"),
+                    "cell": probes[:, 0].astype("int32"),
+                    "probes": list(probes.astype("int32")),
+                }
+            )
+
+    assigned = emb.select(
+        F.col(id_col).cast("long").alias(id_col), F.col(vec_col)
+    ).mapInPandas(assign, schema="vec_id long, cell int, probes array<int>")
+    x = assigned.select(
+        F.col("vec_id").alias("query_id"), F.explode("probes").alias("cell")
+    )
+    y = assigned.select(F.col("vec_id").alias("neighbor_id"), "cell")
+    cand = x.join(y, "cell").where(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select("query_id", "neighbor_id")
+    v = emb.select(F.col(id_col).cast("long").alias("did"), F.col(vec_col).alias("v"))
+    pairs = cand.join(
+        v.select(F.col("did").alias("query_id"), F.col("v").alias("va")), "query_id"
+    ).join(
+        v.select(F.col("did").alias("neighbor_id"), F.col("v").alias("vb")),
+        "neighbor_id",
+    )
+    return _ranked(pairs, M.cosine_similarity("va", "vb"), k, ascending=False)
+
+
 def rp_lsh_topk(
     emb: DataFrame,
     k: int = 5,

@@ -2,12 +2,14 @@
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
 The Spark side (schema, batching, partitioning, UDF signatures) is real and
-tested; the codec step is STUBBED — image/audio libraries are not in this
-container, so ``decode='real'`` raises NotImplementedError and
-``decode='fake'`` computes a deterministic byte-level feature (a normalized
-256-bin byte histogram), which exercises the identical dataflow: binary in,
-fixed-width float vector out, feeding the same ANN operators as text
-embeddings.
+tested. ``decode='real'`` is REAL for the formats the stdlib can decode —
+PNG (zlib), PPM, 16-bit PCM WAV via ``smqtk_indexing_spark.codecs`` — and
+raises for formats that genuinely need external codec libraries (JPEG,
+MP3/MP4; PIL/ffmpeg are not in this container — swapping them in at the
+same call sites is a deploy-time change). ``decode='fake'`` computes a
+deterministic byte-level feature (a normalized 256-bin byte histogram) for
+any payload, exercising the identical dataflow: binary in, fixed-width
+float vector out, feeding the same ANN operators as text embeddings.
 
 No reference analog (SMQTK-Indexing consumes pre-computed descriptors); this
 is the training-data-pipeline surface the engine adds (SURVEY.md §2.10).
@@ -43,27 +45,47 @@ def to_assets(
     )
 
 
-def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
-    """binary assets -> fixed-width float features, one Arrow pass.
+def _real_feature(kind: str, b: bytes) -> list:
+    """Dispatch a decoded 256-dim feature by asset kind (codecs module).
+    Raises for formats that require external codec libraries."""
+    from smqtk_indexing_spark import codecs as C
 
-    decode='real' is the integration point for actual codecs (PIL/ffmpeg),
-    intentionally NotImplemented in this container; decode='fake' is the
-    deterministic stand-in with the same schema and batch shape.
+    if kind == "image/png":
+        return C.image_feature(C.decode_png(b)).tolist()
+    if kind == "image/ppm":
+        return C.image_feature(C.decode_ppm(b)).tolist()
+    if kind == "audio/wav":
+        samples, _rate = C.decode_wav(b)
+        return C.audio_feature(samples).tolist()
+    raise NotImplementedError(
+        f"decode='real' for kind={kind!r} requires an external codec "
+        "(PIL/ffmpeg; not in this container) — supported real kinds: "
+        "image/png, image/ppm, audio/wav; or use decode='fake'"
+    )
+
+
+def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
+    """binary assets -> fixed-width (256-dim) float features, one Arrow pass.
+
+    decode='real' decodes the asset with the stdlib codecs
+    (PNG/PPM/WAV — ``codecs.py``) and emits the decoded-domain feature
+    (mean-pooled greyscale thumbnail for images, pooled log-spectrum for
+    audio); kinds needing external codec libraries raise. decode='fake' is
+    the deterministic byte-histogram stand-in with the same schema and
+    batch shape for any payload.
     """
     if decode not in ("fake", "real"):
         raise ValueError("decode must be 'fake' or 'real'")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode == "real":
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg; not available "
-                    "in this environment — use decode='fake'"
-                )
             feats, nb = [], []
-            for raw in pdf["data"]:
+            for kind, raw in zip(pdf["kind"], pdf["data"]):
                 b = bytes(raw) if raw is not None else b""
                 nb.append(len(b))
+                if decode == "real":
+                    feats.append(_real_feature(kind, b))
+                    continue
                 hist = np.bincount(
                     np.frombuffer(b, dtype=np.uint8), minlength=256
                 ).astype(np.float32)
@@ -80,6 +102,90 @@ def extract_features(df: DataFrame, decode: str = "fake") -> DataFrame:
 
     return df.select("asset_id", "kind", "data").mapInPandas(
         gen, schema=FEATURE_SCHEMA
+    )
+
+
+def synth_assets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    img_w: int = 24,
+    img_h: int = 16,
+    n_samples: int = 256,
+) -> DataFrame:
+    """Deterministic media assets, two rows per id: a PNG gradient image
+    with pixel(y, x) = (id*7 + 3x + 5y) mod 256 and a 16-bit WAV ramp with
+    sample(t) = ((id*13 + 11t) mod 65536) - 32768. Closed-form content is
+    what lets a DuckDB oracle verify REAL decode output end-to-end
+    (encode UDF -> binary column -> decode UDF -> stats == SQL formula)."""
+    from smqtk_indexing_spark import codecs as C
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        yy, xx = np.mgrid[0:img_h, 0:img_w]
+        tt = np.arange(n_samples, dtype=np.int64)
+        for pdf in batches:
+            ids, kinds, blobs = [], [], []
+            for did in pdf[id_col].astype("int64"):
+                i = int(did)
+                img = ((i * 7 + 3 * xx + 5 * yy) % 256).astype(np.uint8)
+                wavs = (((i * 13 + 11 * tt) % 65536) - 32768).astype(np.int16)
+                ids += [i, i]
+                kinds += ["image/png", "audio/wav"]
+                blobs += [C.encode_png(img), C.encode_wav(wavs)]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "kind": kinds,
+                    "data": blobs,
+                }
+            )
+
+    return df.select(F.col(id_col).cast("long").alias(id_col)).mapInPandas(
+        gen, schema="asset_id long, kind string, data binary"
+    )
+
+
+DECODE_STATS_SCHEMA = "asset_id long, kind string, n_units long, mean_val double"
+
+
+def decode_stats(assets: DataFrame) -> DataFrame:
+    """binary assets -> decoded-domain stats via the REAL stdlib codecs:
+    images -> (pixel count, mean grey value); WAV -> (frame count, mean
+    sample value). The oracle-checkable face of ``decode='real'``."""
+    from smqtk_indexing_spark import codecs as C
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, ns, means = [], [], [], []
+            for aid, kind, raw in zip(
+                pdf["asset_id"], pdf["kind"], pdf["data"]
+            ):
+                b = bytes(raw)
+                if kind == "image/png":
+                    a = C.decode_png(b).astype(np.float64)
+                    n, m = a.shape[0] * a.shape[1], float(a.mean())
+                elif kind == "image/ppm":
+                    a = C.decode_ppm(b).astype(np.float64)
+                    n, m = a.shape[0] * a.shape[1], float(a.mean())
+                elif kind == "audio/wav":
+                    s, _rate = C.decode_wav(b)
+                    n, m = s.shape[0], float(s.astype(np.float64).mean())
+                else:
+                    raise NotImplementedError(f"no stdlib codec for {kind!r}")
+                ids.append(int(aid))
+                kinds.append(kind)
+                ns.append(n)
+                means.append(m)
+            yield pd.DataFrame(
+                {
+                    "asset_id": pd.Series(ids, dtype="int64"),
+                    "kind": kinds,
+                    "n_units": pd.Series(ns, dtype="int64"),
+                    "mean_val": pd.Series(means, dtype="float64"),
+                }
+            )
+
+    return assets.select("asset_id", "kind", "data").mapInPandas(
+        gen, schema=DECODE_STATS_SCHEMA
     )
 
 

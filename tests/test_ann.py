@@ -228,6 +228,52 @@ def test_balltree_query_batch_and_cap(spark, emb):
         balltree_topk(df, queries=df, k=3, max_query_rows=3)
 
 
+def test_kmeans_kernel_deterministic_and_partitions():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((300, 8))
+    c1 = K.kmeans_fit(x, 8, seed=7)
+    c2 = K.kmeans_fit(x, 8, seed=7)
+    np.testing.assert_array_equal(c1, c2)
+    a = K.kmeans_assign(x, c1, nprobe=3)
+    assert a.shape == (300, 3)
+    # column 0 is the true nearest centroid
+    d2 = ((x[:, None, :] - c1[None, :, :]) ** 2).sum(axis=2)
+    np.testing.assert_array_equal(a[:, 0], d2.argmin(axis=1))
+    with pytest.raises(ValueError, match="n_cells"):
+        K.kmeans_fit(x[:4], 8)
+
+
+def test_ivf_topk_recall_and_exact_scores(spark):
+    # planted clusters: IVF with nprobe covering the cluster structure must
+    # recover >= 90% of the brute-force cosine top-3 and report EXACT scores
+    rng = np.random.default_rng(13)
+    centers = rng.standard_normal((6, 16)) * 4
+    vecs = np.vstack(
+        [c + 0.3 * rng.standard_normal((20, 16)) for c in centers]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    want = {
+        (r.query_id, r.neighbor_id)
+        for r in ann.cosine_topk(df, k=3).collect()
+    }
+    got_rows = ann.ivf_topk(df, k=3, n_cells=6, nprobe=3, seed=5).collect()
+    got = {(r.query_id, r.neighbor_id) for r in got_rows}
+    assert len(got & want) >= 0.9 * len(want)
+    # every reported score equals the exact cosine (re-rank is exact)
+    sim = {}
+    for r in got_rows:
+        a, b = vecs[r.query_id].astype(np.float64), vecs[r.neighbor_id].astype(np.float64)
+        expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.score - expect) < 5.01e-7
+    per_q = {}
+    for r in got_rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) == 3 for v in per_q.values())
+
+
 def test_cosine_dup_pairs_banded_recall(spark):
     # planted near-dup embeddings: the banded scale path must find >=99%
     # of what the brute-force twin finds (radius-12 recall boundary), with

@@ -34,11 +34,58 @@ def test_fake_decode_features(assets):
     assert rows[3].feature == again[3].feature
 
 
-def test_real_decode_is_stubbed(assets):
+def test_real_decode_unknown_kind_raises(assets):
+    # 'image' kind has no stdlib codec (JPEG etc. need PIL) -> explicit error
     with pytest.raises(Exception):
         extract_features(assets, decode="real").collect()
     with pytest.raises(ValueError):
         extract_features(assets, decode="nope")
+
+
+def test_real_decode_png_wav_end_to_end(spark):
+    # decode='real' over actual PNG/WAV byte streams: 256-dim decoded-domain
+    # features, deterministic, distinct per asset content
+    from smqtk_indexing_spark.operators.multimodal import synth_assets
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    assets = synth_assets(ids)
+    rows = {
+        (r.asset_id, r.kind): r
+        for r in extract_features(assets, decode="real").collect()
+    }
+    assert len(rows) == 12
+    for (aid, kind), r in rows.items():
+        assert len(r.feature) == 256
+        assert r.n_bytes > 0
+    again = {
+        (r.asset_id, r.kind): r
+        for r in extract_features(assets, decode="real").collect()
+    }
+    assert all(
+        rows[k].feature == again[k].feature for k in rows
+    )
+    # different ids -> different decoded content -> different features
+    assert rows[(0, "image/png")].feature != rows[(1, "image/png")].feature
+
+
+def test_decode_stats_match_generator_closed_form(spark):
+    # the invariant the driver oracle checks, locally: decoded pixel/sample
+    # stats equal the synth generator's closed form
+    from smqtk_indexing_spark.operators.multimodal import decode_stats, synth_assets
+
+    ids = [3, 11, 250]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        (r.asset_id, r.kind): (r.n_units, r.mean_val)
+        for r in decode_stats(synth_assets(df)).collect()
+    }
+    yy, xx = np.mgrid[0:16, 0:24]
+    tt = np.arange(256, dtype=np.int64)
+    for i in ids:
+        img_mean = float(((i * 7 + 3 * xx + 5 * yy) % 256).mean())
+        wav_mean = float((((i * 13 + 11 * tt) % 65536) - 32768).mean())
+        assert got[(i, "image/png")] == (384, img_mean)
+        assert got[(i, "audio/wav")] == (256, wav_mean)
 
 
 def test_sample_frames_dataflow(spark):
