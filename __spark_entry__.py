@@ -1066,7 +1066,9 @@ def oracle_sql() -> dict[str, str]:
                    json_extract_string(props, '$.k')::INT AS k_val
             FROM events
         """,
-        # intentionally no oracle (Spark-native hash functions / approximate):
+        # intentionally no oracle (hash-function- or model-state-dependent
+        # outputs; each has an oracle-checked certificate companion):
         # doc_fingerprint, minhash_signatures, simhash_hamming_pairs,
-        # ann_rp_lsh_topk, rp_hamming_topk
+        # ann_rp_lsh_topk, rp_hamming_topk, rp_hamming128_topk,
+        # ann_mrpt_topk, ann_ivf_topk, itq_hamming_topk
     }

@@ -92,16 +92,42 @@ def candidate_pairs(
             .select(F.col("m").alias("a"), F.col("doc_id").alias("b"))
             .distinct()
         )
-    # ONE shuffle total. The bucket table hash-aggregates into
-    # (band_hash, members[]) with map-side partial combine — singleton
-    # buckets (the overwhelming majority) die in the HAVING without ever
-    # being replicated or joined. Each surviving bucket's member array is
-    # split into blocks of ~salt_threshold INSIDE the row; the (i <= j)
-    # block-pair rows are exploded, then ROUND-ROBIN REPARTITIONED so a
-    # giant bucket's O(nb^2/2) block-pairs — and therefore its O(m^2) pair
-    # generation work — spread across the whole cluster (the salt step),
-    # and finally each block-pair row expands to its pairs via nested
-    # generators. No self-join of the bucket table at all.
+    # Hybrid "all" topology (round-3 measurement: the in-row HOF explosion
+    # scaled 2->8 at only 0.53 on small-bucket corpora while a
+    # window-rank co-partitioned self-join scaled at 0.84 and was 24%
+    # faster at 8 cores; identical pair sets):
+    #
+    # - SMALL buckets (m <= salt_threshold — after the exact-dup collapse
+    #   this is virtually every bucket): ONE exchange assigns in-bucket
+    #   ranks + sizes via two window functions over the band key; the
+    #   rank-ordered self-join reuses that hash partitioning, so pair
+    #   generation is whole-stage-codegen JVM work with no interpreted
+    #   higher-order functions and no second wide exchange.
+    # - GIANT buckets (m > salt_threshold): the salted in-row block
+    #   machinery below — a hot band_hash key would serialize the
+    #   co-partitioned join into one task, so giant buckets' O(m^2) work
+    #   is striped over O((m/r)^2) independent block-pair rows instead
+    #   (deterministic by construction, not reliant on AQE skew splits).
+    w_rank = Window.partitionBy("band_hash").orderBy("doc_id")
+    w_cnt = Window.partitionBy("band_hash")
+    sized = (
+        buckets.withColumn("rn", F.row_number().over(w_rank))
+        .withColumn("m", F.count("*").over(w_cnt))
+        .where((F.col("m") > 1) & (F.col("m") <= cfg.bucket_cap))
+    )
+    small = sized.where(F.col("m") <= salt_threshold)
+    x = small.select(
+        "band_hash", F.col("doc_id").alias("xa"), F.col("rn").alias("ra")
+    )
+    y = small.select(
+        "band_hash", F.col("doc_id").alias("yb"), F.col("rn").alias("rb")
+    )
+    small_pairs = (
+        x.join(y, "band_hash")
+        .where(F.col("ra") < F.col("rb"))
+        .select(F.least("xa", "yb").alias("a"), F.greatest("xa", "yb").alias("b"))
+    )
+    giant = sized.where(F.col("m") > salt_threshold).select("band_hash", "doc_id")
     nb = F.ceil(F.size("ms") / F.lit(salt_threshold)).cast("int")
     blocks = F.transform(
         F.sequence(F.lit(0), F.col("nb") - 1),
@@ -121,9 +147,8 @@ def candidate_pairs(
         )
     )
     g = (
-        buckets.groupBy("band_hash")
+        giant.groupBy("band_hash")
         .agg(F.collect_list("doc_id").alias("ms"))
-        .where((F.size("ms") > 1) & (F.size("ms") <= cfg.bucket_cap))
         .withColumn("nb", nb)
         .withColumn("blocks", blocks)
         .select(F.explode(block_pairs).alias("bp"))
@@ -138,9 +163,9 @@ def candidate_pairs(
             )
         )
     )
-    x = F.explode("ba").alias("x")
-    pairs = (
-        g.select(x, "bb", "same")
+    gx = F.explode("ba").alias("x")
+    giant_pairs = (
+        g.select(gx, "bb", "same")
         .select(
             F.col("x"),
             F.explode(
@@ -150,4 +175,4 @@ def candidate_pairs(
         )
         .select(F.least("x", "y").alias("a"), F.greatest("x", "y").alias("b"))
     )
-    return pairs.distinct()
+    return small_pairs.unionByName(giant_pairs).distinct()
