@@ -104,7 +104,7 @@ def q_near_dup_pairs_bruteforce(spark, sf_dir):
 _PAIR_MEMO: dict = {}
 
 
-def _lsh_pairs(spark, sf_dir):
+def _lsh_pairs(spark, sf_dir, materialize: bool = True):
     # Lean dataflow (same shape as plans/pipeline.py:152-175): the signature
     # pass carries ONLY band keys (~300 B/doc); shingle arrays are computed a
     # second time for CANDIDATE docs only, instead of Arrow-shipping every
@@ -112,13 +112,17 @@ def _lsh_pairs(spark, sf_dir):
     # id fetch and the verify join, so it is persisted — without it the full
     # tokenize+minhash mapInPandas pass re-runs once per DAG branch (~3x the
     # signature cost, the round-1 near_dup_pairs_lsh bottleneck).
+    # ``materialize=False`` returns the PURE LAZY plan (no persist, no
+    # checkpoint, no memo) — for plan capture (tools/explain_plans.py).
     key = (id(spark.sparkContext), sf_dir, CFG.config_hash)
-    hit = _PAIR_MEMO.get(key)
+    hit = _PAIR_MEMO.get(key) if materialize else None
     if hit is not None:
         return hit
     docs = _docs(spark, sf_dir)
     sigs = compute_signatures(docs, CFG, include=("bands",))
-    cand = candidate_pairs(band_buckets(sigs, CFG), CFG).persist()
+    cand = candidate_pairs(band_buckets(sigs, CFG), CFG)
+    if materialize:
+        cand = cand.persist()
     try:
         cand_ids = (
             cand.select(F.col("a").alias("doc_id"))
@@ -127,6 +131,8 @@ def _lsh_pairs(spark, sf_dir):
         )
         cand_docs = docs.join(cand_ids.hint("shuffle_hash"), "doc_id", "left_semi")
         out = verify_pairs(cand, compute_shingle_arrays(cand_docs, CFG), CFG)
+        if not materialize:
+            return out
         # materialize the (small, tau-filtered) pair set NOW so the big
         # candidate cache is released before returning — no cached
         # intermediates survive a queries() run (round-2 VERDICT item 8)
@@ -134,7 +140,8 @@ def _lsh_pairs(spark, sf_dir):
         _PAIR_MEMO[key] = out
         return out
     finally:
-        cand.unpersist()
+        if materialize:
+            cand.unpersist()
 
 
 def q_near_dup_pairs_lsh(spark, sf_dir):

@@ -184,6 +184,26 @@ def _nlj_contains(short: DataFrame, t: DataFrame) -> DataFrame:
     ).select("inner", "outer")
 
 
+def _short_side(
+    chunks: DataFrame,
+    df: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(inner, t_in) rows for containees the coarse CDC join cannot see."""
+    detectable = chunks.where(
+        F.col("is_interior") & (F.col("n_chars") >= cfg.min_containee_chars)
+    ).select(F.col("doc_id")).distinct()
+    t = df.select(
+        F.col(id_col).cast("long").alias("did"), F.col(text_col).alias("t")
+    )
+    return (
+        t.join(detectable.withColumnRenamed("doc_id", "did"), "did", "left_anti")
+        .select(F.col("did").alias("inner"), F.col("t").alias("t_in"))
+    )
+
+
 def short_containee_pairs(
     chunks: DataFrame,
     df: DataFrame,
@@ -209,16 +229,10 @@ def short_containee_pairs(
     ``substring_pairs`` EXACT: every proper containment is found by
     exactly one leg (disjoint containee sets).
     """
-    detectable = chunks.where(
-        F.col("is_interior") & (F.col("n_chars") >= cfg.min_containee_chars)
-    ).select(F.col("doc_id")).distinct()
     t = df.select(
         F.col(id_col).cast("long").alias("did"), F.col(text_col).alias("t")
     )
-    short = (
-        t.join(detectable.withColumnRenamed("doc_id", "did"), "did", "left_anti")
-        .select(F.col("did").alias("inner"), F.col("t").alias("t_in"))
-    )
+    short = _short_side(chunks, df, cfg, id_col, text_col)
     n_short = short.count()
     if n_short <= cfg.short_nlj_cap:
         return _nlj_contains(short, t)
@@ -280,6 +294,7 @@ def substring_pairs(
     mode: str = "all_interior",
     df_cap: int = 10_000,
     short_path: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """CDC candidates + exact verify -> (inner, outer) containment pairs.
 
@@ -293,23 +308,35 @@ def substring_pairs(
     EXACT — same semantics as the full SQL oracle, no length floor. The
     short path materializes the (small) verified pair set eagerly so the
     persisted chunk cache is released before returning (round-2 VERDICT
-    item 8: no cached intermediates survive a ``queries()`` run)."""
+    item 8: no cached intermediates survive a ``queries()`` run);
+    ``materialize=False`` keeps the plan fully lazy (no persist /
+    checkpoint / short-side count — the NLJ leg is assumed for the short
+    containees) for plan capture via tools/explain_plans.py."""
     chunks = cdc_chunks(df, cfg, id_col, text_col)
-    if not short_path:
+
+    def _cand(ch):
         if mode == "rarest":
-            cand = containment_candidates_rarest(chunks, cfg, df_cap)
-        else:
-            cand = containment_candidates(chunks, cfg)
-        return verify_containment(cand, df, id_col, text_col)
+            return containment_candidates_rarest(ch, cfg, df_cap)
+        return containment_candidates(ch, cfg)
+
+    if not short_path:
+        return verify_containment(_cand(chunks), df, id_col, text_col)
+    if not materialize:
+        pairs = verify_containment(_cand(chunks), df, id_col, text_col)
+        return pairs.unionByName(
+            _nlj_contains(
+                _short_side(chunks, df, cfg, id_col, text_col),
+                df.select(
+                    F.col(id_col).cast("long").alias("did"),
+                    F.col(text_col).alias("t"),
+                ),
+            )
+        )
     # chunks feeds BOTH the candidate branch and the short-containee
     # anti-join; persist so the CDC mapInPandas pass runs once
     chunks = chunks.persist()
     try:
-        if mode == "rarest":
-            cand = containment_candidates_rarest(chunks, cfg, df_cap)
-        else:
-            cand = containment_candidates(chunks, cfg)
-        pairs = verify_containment(cand, df, id_col, text_col)
+        pairs = verify_containment(_cand(chunks), df, id_col, text_col)
         pairs = pairs.unionByName(
             short_containee_pairs(chunks, df, cfg, id_col, text_col)
         )

@@ -29,6 +29,9 @@ QUERIES = [
     "ann_balltree_topk",
     "emb_near_dup_pairs",
     "rp_hamming128_topk",
+    "ann_ivf_topk",
+    "itq_hamming_topk",
+    "multimodal_decode",
 ]
 
 
@@ -40,8 +43,24 @@ def main() -> None:
     spark = get_spark(app_name="explain", master="local[4]")
     qs = E.queries()
     out = ["# PLANS — physical plans of headline queries (sf0.01)\n"]
+
+    def build(name):
+        # the pair/substring queries eagerly checkpoint their results (cache
+        # hygiene); capture their UN-materialized dataflow instead so the
+        # plan shows the real topology, not a checkpoint scan
+        if name == "near_dup_pairs_lsh":
+            return E._lsh_pairs(spark, sf_dir, materialize=False)
+        if name == "substring_containment":
+            from smqtk_indexing_spark.operators.substrings import substring_pairs
+
+            return substring_pairs(
+                E._docs(spark, sf_dir), E.CFG, id_col="doc_id", text_col="text",
+                materialize=False,
+            ).select("inner", "outer")
+        return qs[name](spark, sf_dir)
+
     for name in QUERIES:
-        df = qs[name](spark, sf_dir)
+        df = build(name)
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain("formatted")
