@@ -82,6 +82,30 @@ def test_salted_path_equals_normal_path(spark):
     assert len(normal) == 40 * 39 // 2
 
 
+def test_hybrid_mixed_small_and_giant_buckets(spark):
+    # corpus with BOTH a giant bucket family (30 identical docs -> giant at
+    # salt_threshold=8) and small-bucket near-dup groups in the same run:
+    # the small-bucket window-join leg and the giant salted in-row leg must
+    # union + dedupe into exactly the brute-force co-bucket pair set
+    rows = [(i, "giant family content a b c d " * 5) for i in range(30)]
+    rows += [(100 + i, f"small group one {i % 2} x y z w " * 4) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = compute_signatures(df, CFG)
+    buckets = band_buckets(sigs, CFG)
+    want = {
+        (r.a, r.b)
+        for r in candidate_pairs(buckets, CFG, salt_threshold=10_000).collect()
+    }
+    got_rows = candidate_pairs(buckets, CFG, salt_threshold=8).collect()
+    got = {(r.a, r.b) for r in got_rows}
+    assert len(got_rows) == len(got)  # cross-leg duplicates removed
+    assert got == want
+    giant_ids = set(range(30))
+    assert {(a, b) for a, b in got if a in giant_ids} >= {
+        (a, b) for a in range(30) for b in range(a + 1, 30)
+    }
+
+
 def test_verify_thresholds(spark, small_docs):
     sigs = compute_signatures(small_docs, CFG)
     cand = candidate_pairs(band_buckets(sigs, CFG), CFG)
