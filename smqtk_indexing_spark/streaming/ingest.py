@@ -66,3 +66,83 @@ def ingest_available_now(
         .start()
     )
     q.awaitTermination()
+
+
+def windowed_first_events(
+    stream: DataFrame,
+    window_duration: str = "5 minutes",
+    watermark_delay: str = "10 minutes",
+    ts_col: str = "ts",
+    key_cols: tuple = ("user_id", "event_type"),
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Watermarked streaming twin of the batch ``events_windowed_dedup``
+    query: the FIRST event per key per tumbling window, with late data
+    accepted up to ``watermark_delay`` (SURVEY §2.8 late-data contract).
+
+    Pure built-in streaming aggregation: watermark -> tumbling window ->
+    ``min_by``; in append output mode a window's row is emitted exactly
+    once, when the watermark passes its end — so downstream sinks see a
+    deduplicated, late-tolerant event stream with no custom state.
+    """
+    w = stream.withColumn(
+        "_ts", F.col(ts_col).cast("timestamp")
+    ).withWatermark("_ts", watermark_delay)
+    return (
+        w.groupBy(F.window("_ts", window_duration).alias("w"), *key_cols)
+        .agg(
+            F.min_by(F.col(id_col), F.struct("_ts", id_col)).alias("first_event_id"),
+            F.count("*").alias("n_in_window"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"), *key_cols,
+            "first_event_id", "n_in_window",
+        )
+    )
+
+
+FIRST_SEEN_STATE = "seen byte"
+
+
+def first_seen_keys(
+    stream: DataFrame,
+    key_col: str = "sha256",
+    payload_col: str = "doc_id",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    emit each key the FIRST time it is ever seen across all micro-batches
+    — the streaming form of the exact-dedup fast path (cross-batch: state
+    lives in the stream checkpoint, so a restart resumes, unlike
+    ``dropDuplicates`` within a batch). One tiny state row (a seen flag)
+    per key group; NoTimeout keeps keys forever, the dedup contract.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = f"{key_col} string, {payload_col} long"
+
+    def fn(key, pdfs, state: GroupState):
+        if state.exists:
+            return
+        best = None  # deterministic representative: min payload in batch
+        for pdf in pdfs:
+            if len(pdf):
+                row = pdf.loc[pdf[payload_col].idxmin()]
+                if best is None or int(row[payload_col]) < best[1]:
+                    best = (str(row[key_col]), int(row[payload_col]))
+        if best is None:
+            return
+        state.update((1,))
+        import pandas as pd
+
+        yield pd.DataFrame({key_col: [best[0]], payload_col: [best[1]]})
+
+    return (
+        stream.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=FIRST_SEEN_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
