@@ -12,6 +12,7 @@ after sorting columns by name).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -104,6 +105,21 @@ def q_near_dup_pairs_bruteforce(spark, sf_dir):
 _PAIR_MEMO: dict = {}
 
 
+def _memo_evict_stopped() -> None:
+    """Drop memo entries whose SparkContext has been stopped — otherwise a
+    dead context (and its checkpointed blocks) stays referenced for the
+    process lifetime (ADVICE r3). The id()-key is safe BECAUSE the value
+    pins the context; eviction restores that invariant for live contexts
+    only."""
+    dead = [
+        k
+        for k, df in _PAIR_MEMO.items()
+        if getattr(df.sparkSession.sparkContext, "_jsc", None) is None
+    ]
+    for k in dead:
+        del _PAIR_MEMO[k]
+
+
 def _lsh_pairs(spark, sf_dir, materialize: bool = True):
     # Lean dataflow (same shape as plans/pipeline.py:152-175): the signature
     # pass carries ONLY band keys (~300 B/doc); shingle arrays are computed a
@@ -114,6 +130,7 @@ def _lsh_pairs(spark, sf_dir, materialize: bool = True):
     # signature cost, the round-1 near_dup_pairs_lsh bottleneck).
     # ``materialize=False`` returns the PURE LAZY plan (no persist, no
     # checkpoint, no memo) — for plan capture (tools/explain_plans.py).
+    _memo_evict_stopped()
     key = (id(spark.sparkContext), sf_dir, CFG.config_hash)
     hit = _PAIR_MEMO.get(key) if materialize else None
     if hit is not None:
@@ -714,6 +731,87 @@ def q_multimodal_decode(spark, sf_dir):
     )
 
 
+def _stage_stream_input(src_file: str) -> tuple:
+    """FileStreamSource needs a DIRECTORY; the testdata tables are single
+    parquet files. Stage a copy into a fresh temp dir (tiny at bench SFs)
+    plus sink/checkpoint dirs — fresh per call, so every run is a complete,
+    deterministic AvailableNow drain."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sgq-stream-")
+    os.makedirs(f"{base}/in")
+    shutil.copy(src_file, f"{base}/in/part-0.parquet")
+    return f"{base}/in", f"{base}/sink", f"{base}/ck"
+
+
+def q_streaming_windowed_first(spark, sf_dir):
+    # §2.8 driver gate (round-3 VERDICT item 7): the REAL watermarked
+    # streaming operator (streaming/ingest.py windowed_first_events), run
+    # as an AvailableNow drain into a parquet sink. Append mode emits a
+    # window exactly once — when the final no-data micro-batch advances
+    # the watermark past its end — so the oracle is the batch first-per-
+    # window query restricted to windows closed by the final watermark
+    # (w_end <= max(ts) - delay); the one in-flight window near max(ts)
+    # stays in state, by design.
+    from smqtk_indexing_spark.streaming.ingest import windowed_first_events
+
+    in_dir, sink, ck = _stage_stream_input(f"{sf_dir}/events.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1_000_000)  # one deterministic batch
+        .parquet(in_dir)
+    )
+    out = windowed_first_events(stream, "5 minutes", "10 minutes")
+    q = (
+        out.select(
+            F.col("w_start").cast("long").alias("w_start"),
+            "user_id",
+            "event_type",
+            "first_event_id",
+            "n_in_window",
+        )
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
+def q_streaming_first_seen(spark, sf_dir):
+    # §2.8 driver gate: the applyInPandasWithState first-seen operator
+    # (streaming/ingest.py first_seen_keys) over the documents table keyed
+    # by content sha256 — one AvailableNow drain, so first-seen == global
+    # min doc_id per sha (the exact-dedup streaming fast path).
+    from smqtk_indexing_spark.streaming.ingest import first_seen_keys
+
+    in_dir, sink, ck = _stage_stream_input(f"{sf_dir}/documents.parquet")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1_000_000)
+        .parquet(in_dir)
+    )
+    keyed = stream.select(
+        F.sha2(F.col("text"), 256).alias("sha256"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+    )
+    q = (
+        first_seen_keys(keyed)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(sink)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: LSH near-dup pairs on sf0.001 (SURVEY.md §3.2)."""
     return q_near_dup_pairs_lsh(spark, "/root/testdata/sf0.001")
@@ -761,6 +859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed_dedup": q_events_windowed_dedup,
         "events_type_stats": q_events_type_stats,
         "events_json_extract": q_events_json_extract,
+        "streaming_windowed_first": q_streaming_windowed_first,
+        "streaming_first_seen": q_streaming_first_seen,
     }
 
 
@@ -981,6 +1081,33 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT w_start, user_id, event_type, event_id FROM w WHERE rn = 1
+        """,
+        # streaming gates (round-3 VERDICT item 7): the drain is a real
+        # Structured Streaming run; its append-mode output is the batch
+        # twin restricted to windows the final watermark closed
+        "streaming_windowed_first": """
+            WITH b AS (
+              SELECT (floor(epoch(ts)/300)*300)::BIGINT AS w_start,
+                     user_id, event_type, event_id, ts
+              FROM events
+            ),
+            mx AS (SELECT epoch(max(ts)) AS m FROM events),
+            r AS (
+              SELECT *,
+                     row_number() OVER (
+                       PARTITION BY w_start, user_id, event_type
+                       ORDER BY ts ASC, event_id ASC) AS rn,
+                     count(*) OVER (
+                       PARTITION BY w_start, user_id, event_type) AS n
+              FROM b
+            )
+            SELECT w_start, user_id, event_type,
+                   event_id AS first_event_id, n::BIGINT AS n_in_window
+            FROM r, mx WHERE rn = 1 AND w_start + 300 <= m - 600
+        """,
+        "streaming_first_seen": """
+            SELECT sha256(text) AS sha256, min(doc_id)::BIGINT AS doc_id
+            FROM documents GROUP BY sha256(text)
         """,
         "events_type_stats": """
             SELECT event_type, count(*)::BIGINT AS n_events,

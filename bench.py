@@ -91,7 +91,24 @@ def run_headline(spark, sf_dir: str) -> dict:
         n = df.count()
         out[name] = round(time.time() - t0, 3)
         print(f"  {name}: {n} rows in {out[name]}s", file=sys.stderr)
-    return out
+    # Disclosure (round-3 VERDICT item 6): dup_clusters above reuses the
+    # pair stage memoized by near_dup_pairs_lsh earlier in this process
+    # (__spark_entry__._PAIR_MEMO — deliberate production stage reuse, but
+    # not a cold-start number). Measure the COLD variant too: memo cleared,
+    # the full signatures -> buckets -> verify -> CC dataflow from scratch.
+    E._PAIR_MEMO.clear()
+    t0 = time.time()
+    E.queries()["dup_clusters"](spark, sf_dir).count()
+    cold = round(time.time() - t0, 3)
+    print(f"  dup_clusters (cold, memo cleared): {cold}s", file=sys.stderr)
+    extras = {
+        "warm_input": {
+            "dup_clusters": "reuses the pair-stage localCheckpoint memoized "
+            "by near_dup_pairs_lsh in the same process (_PAIR_MEMO)"
+        },
+        "dup_clusters_cold_sec": cold,
+    }
+    return out, extras
 
 
 def dedup_files_per_sec(
@@ -455,7 +472,7 @@ check).
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus)
-    queries = run_headline(spark, sf_dir)
+    queries, extras = run_headline(spark, sf_dir)
     # headline = sum of the TIMED query walls (steady-state, per-query warm
     # pass at sf0.001 excluded — a long-lived cluster's JIT is always warm)
     total = round(sum(queries.values()), 3)
@@ -468,6 +485,7 @@ check).
                 "unit": "sec",
                 "queries": queries,
                 "sf": sf,
+                **extras,
             }
         )
     )

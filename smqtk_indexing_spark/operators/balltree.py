@@ -95,14 +95,19 @@ def balltree_topk(
     OOM-ing the driver)."""
     if queries is None:
         return balltree_topk_allpairs(corpus, k, id_col, vec_col)
-    n_q = queries.count()
-    if n_q > max_query_rows:
+    # ONE job: collect limit(cap+1) and raise on overflow, instead of a
+    # separate count() that would run the query-side plan twice (ADVICE r3)
+    qrows = (
+        queries.select(F.col(id_col).cast("long"), F.col(vec_col))
+        .limit(max_query_rows + 1)
+        .collect()
+    )
+    if len(qrows) > max_query_rows:
         raise ValueError(
-            f"balltree_topk: query batch has {n_q} rows > max_query_rows="
+            f"balltree_topk: query batch exceeds max_query_rows="
             f"{max_query_rows}; the batch is collected to the driver by "
             "contract — pass queries=None for the distributed all-pairs form"
         )
-    qrows = queries.select(F.col(id_col).cast("long"), F.col(vec_col)).collect()
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     q_vecs = np.asarray([list(r[1]) for r in qrows], dtype=np.float64)
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_vecs))

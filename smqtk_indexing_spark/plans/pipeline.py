@@ -180,9 +180,16 @@ def run_dedup(
         # local[32]; decomposed 8.3 s / 9.8 s — the inversion gone). On a
         # multi-executor cluster the same boundary decouples executor-core
         # contention between shuffle-read and pandas-UDF phases.
-        cand_docs = cand_docs.localCheckpoint(eager=True)
+        # persist + count (not localCheckpoint): same eager stage boundary,
+        # but DataFrame.unpersist() actually releases cache-manager blocks,
+        # where checkpoint RDD blocks would linger until ContextCleaner GC
+        # (ADVICE r3)
+        cand_docs = cand_docs.persist()
+        cand_docs.count()
         shingle_df = compute_shingle_arrays(cand_docs, cfg)
         pairs_out = verify_pairs(cand, shingle_df, cfg)
+        # the small tau-filtered result is checkpointed (it must outlive the
+        # cand_docs cache released on the next line)
         pairs_out = pairs_out.localCheckpoint(eager=True)
         cand_docs.unpersist()
         return pairs_out

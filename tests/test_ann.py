@@ -92,6 +92,34 @@ def test_rp_lsh_topk_recall_planted_neighbors(spark):
     assert hits >= 0.9 * 60, f"planted-neighbor recall too low: {hits}/60"
 
 
+def test_rp_lsh_topk_giant_bucket_salted_parity(spark):
+    # round-3 VERDICT item 1: a planted giant bucket (every vector
+    # identical -> all 8 band buckets collide on all rows) must route
+    # through the salted block-pair path, finish, and produce exactly the
+    # same ranked output as the small-bucket window-rank path on the same
+    # data. 1200 identical vectors = ~719k undirected in-bucket pairs; with
+    # salt_block_rows=128 the bucket is striped into C(10,2)+10 = 55
+    # independent block-pair rows spread over the cluster instead of one
+    # in-row explode.
+    n = 1200
+    vec = [1.0, 0.5, -0.25, 2.0, 0.0, -1.0, 0.75, 0.125]
+    rng = np.random.default_rng(3)
+    extra = rng.standard_normal((8, 8)).astype(np.float64)
+    rows = [(i, vec) for i in range(n)] + [
+        (n + j, extra[j].tolist()) for j in range(8)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    salted = ann.rp_lsh_topk(df, k=2, salt_block_rows=128)
+    plain = ann.rp_lsh_topk(df, k=2, salt_block_rows=10**6)
+    got_s = {(r.query_id, r.neighbor_id, r.rank, r.score) for r in salted.collect()}
+    got_p = {(r.query_id, r.neighbor_id, r.rank, r.score) for r in plain.collect()}
+    assert got_s == got_p
+    # every identical vector found identical neighbors (cos == 1.0)
+    perfect = [t for t in got_s if t[0] < n]
+    assert len(perfect) == 2 * n
+    assert all(abs(t[3] - 1.0) < 1e-6 for t in perfect)
+
+
 @pytest.mark.parametrize("radius", [0, 1, 3, 7])
 def test_hamming_pairs_banded_exact(spark, radius):
     # banded multi-index join == brute-force popcount filter, any radius
@@ -243,6 +271,21 @@ def test_kmeans_kernel_deterministic_and_partitions():
         K.kmeans_fit(x[:4], 8)
 
 
+def test_kmeans_dead_cells_reseed_distinct():
+    # ADVICE r3: multiple dead cells must re-seed on DISTINCT farthest
+    # points, not all collapse onto one stale argmax. Heavy duplicates make
+    # the seeded init pick coincident centroids -> immediate dead cells;
+    # the four well-separated locations must all end up represented.
+    A, B, C, D = [0.0, 0.0], [10.0, 10.0], [-20.0, 5.0], [30.0, -7.0]
+    x = np.array([A] * 50 + [B] * 50 + [C] + [D])
+    for seed in range(8):
+        cent = K.kmeans_fit(x, 4, n_iter=25, seed=seed)
+        uniq = {tuple(np.round(c, 9)) for c in cent}
+        assert len(uniq) == 4, (seed, cent)
+        for p in (A, B, C, D):
+            assert min(np.abs(cent - p).sum(axis=1)) < 1e-9, (seed, p)
+
+
 def test_ivf_topk_recall_and_exact_scores(spark):
     # planted clusters: IVF with nprobe covering the cluster structure must
     # recover >= 90% of the brute-force cosine top-3 and report EXACT scores
@@ -272,6 +315,42 @@ def test_ivf_topk_recall_and_exact_scores(spark):
     for r in got_rows:
         per_q.setdefault(r.query_id, []).append(r)
     assert all(len(v) == 3 for v in per_q.values())
+
+
+def test_ivf_topk_byte_bounded_fit_and_distributed_mode(spark):
+    # round-3 VERDICT item 5: at dim 2048 the driver fit must respect a
+    # BYTE budget (here ~8 cells' worth of rows, far below the row cap),
+    # and the distributed partial-sums fit must never collect vectors yet
+    # still recover the planted cluster structure.
+    rng = np.random.default_rng(7)
+    dim = 2048
+    centers = rng.standard_normal((4, dim)) * 3
+    vecs = np.vstack(
+        [c + 0.2 * rng.standard_normal((15, dim)) for c in centers]
+    ).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    want = {
+        (r.query_id, r.neighbor_id) for r in ann.cosine_topk(df, k=3).collect()
+    }
+    # sample fit, byte-bounded: budget admits only 32 rows (32*2048*8)
+    got_s = {
+        (r.query_id, r.neighbor_id)
+        for r in ann.ivf_topk(
+            df, k=3, n_cells=4, nprobe=2, seed=3, max_sample_bytes=32 * dim * 8
+        ).collect()
+    }
+    assert len(got_s & want) >= 0.9 * len(want)
+    # distributed fit: driver sees only k x d partial sums
+    got_d = {
+        (r.query_id, r.neighbor_id)
+        for r in ann.ivf_topk(
+            df, k=3, n_cells=4, nprobe=2, seed=3, n_iter=5, fit="distributed"
+        ).collect()
+    }
+    assert len(got_d & want) >= 0.9 * len(want)
 
 
 def test_cosine_dup_pairs_banded_recall(spark):

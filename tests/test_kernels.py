@@ -168,6 +168,45 @@ def test_cdc_determinism_and_coverage():
     assert b[-1] == len(t.encode())
 
 
+def _chunk_table_naive(texts, window, mask_bits):
+    """The former per-doc/per-chunk loop — kept as the golden twin."""
+    rows = set()
+    for di, text in enumerate(texts):
+        t = text or ""
+        ch = K.cdc_chunk_hashes(t, window, mask_bits).view(np.int64)
+        inter = set(ch[1:-1].tolist()) if len(ch) >= 3 else set()
+        for h in set(ch.tolist()):
+            rows.add((di, len(t), h, h in inter))
+    return rows
+
+
+@pytest.mark.parametrize("window,mask_bits", [(8, 4), (4, 2)])
+def test_cdc_chunk_table_batch_matches_naive(window, mask_bits):
+    # round-3 VERDICT item 2: the batched chunk-table kernel must be
+    # row-identical to the per-doc loop on a nasty corpus — unicode,
+    # empty docs, docs shorter than the window, exact repeats, and a doc
+    # embedded in another (multi-byte chars make byte-len != char-len)
+    rng = np.random.default_rng(9)
+    body = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, size=600))
+    texts = [
+        body,
+        "PRE-" * 5 + body + "-POST" * 5,
+        "",
+        "ab",
+        "x" * (window - 1),
+        "héllo wörld ☃ " * 30,
+        body,  # exact repeat
+        None,
+        "short",
+        "the quick brown fox jumps over the lazy dog " * 10,
+    ]
+    di, nc, h, inter = K.cdc_chunk_table_batch(texts, window, mask_bits)
+    got = set(zip(di.tolist(), nc.tolist(), h.tolist(), inter.tolist()))
+    assert got == _chunk_table_naive(texts, window, mask_bits)
+    # row count equals sum of per-doc distinct chunk counts (no dup rows)
+    assert len(got) == len(di)
+
+
 def test_suffix_array_matches_naive():
     for s in [b"banana", b"mississippi", b"aaaa", b"", b"ab"]:
         sa = K.suffix_array(s)
@@ -182,6 +221,34 @@ def test_find_containments():
     assert (2, 1) not in got
     # equal texts are NOT containment (proper substring only)
     assert (1, 3) not in got and (3, 1) not in got
+
+
+def test_find_containments_sa_matches_brute_short_heavy():
+    # round-3 VERDICT item 3: the suffix-array kernel is the production
+    # per-partition pass — must equal the brute find twin on a short-heavy
+    # corpus with repeats, overlaps, unicode and adversarial patterns
+    rng = np.random.default_rng(17)
+    body = "".join(chr(97 + int(c)) for c in rng.integers(0, 4, size=500))
+    texts = [
+        body,
+        "A" + body + "Z",
+        body[10:60],
+        body[10:60],  # duplicate containee
+        "",  # empty: skipped at min_len=1
+        "aa", "aaa", "aaaa" * 50,  # nested periodic strings
+        "héllo ☃", "xx héllo ☃ yy",
+        "zzz-unique-zzz",
+        body[:30] + "#" + body[:30],  # needle occurs twice in one doc
+        body[:30],
+    ]
+    want = K.find_containments(texts, min_len=1)
+    got = K.find_containments_sa(texts, min_len=1)
+    assert got == want
+    assert (2, 0) in got and (3, 0) in got and (5, 6) in got
+    # randomized cross-check: substrings of random docs, several sizes
+    docs = ["".join(chr(97 + int(c)) for c in rng.integers(0, 3, size=int(s)))
+            for s in rng.integers(1, 80, size=40)]
+    assert K.find_containments_sa(docs) == K.find_containments(docs)
 
 
 # --- vector functors (reference parity) ---
