@@ -89,8 +89,11 @@ def candidate_pairs(
     mode="all" (default): EVERY co-bucketed pair — the exact pair-output
     semantic (matches the brute-force oracle). Quadratic per bucket:
     template-heavy corpora produce buckets of thousands of members whose
-    sum(C(m,2)) pair explosion (measured: 1.0e9 raw pairs on the 400k-doc
-    synthetic corpus) dominates the whole job.
+    sum(C(m,2)) pair explosion dominates the whole job (measured on the
+    400k-doc synthetic corpus: 1.0e9 raw pairs over the RAW bucket table;
+    the upstream exact-dup collapse, which the pipeline always applies
+    first, cuts the same corpus to ~570k raw pairs — the collapse IS the
+    primary skew defense, this operator handles what survives it).
 
     mode="star": per bucket, connect each member to the bucket MINIMUM only
     — sum(m-1) rows, linear in corpus size. For CLUSTERING this preserves
@@ -104,17 +107,27 @@ def candidate_pairs(
     mode = mode or cfg.pair_mode
     salt_threshold = salt_threshold or cfg.salt_block_rows
     if mode == "star":
-        # NO member arrays (a collect_list groupBy is an
-        # ObjectHashAggregate that falls back to sort-based aggregation)
-        # and ONE exchange of the bucket table: window min/count over the
-        # band key computes each member's bucket minimum in place — the
-        # agg+join-back pattern would exchange the 32x-exploded table
-        # twice. Then a distinct over the linear sum(m-1) star edges.
-        w = Window.partitionBy("band_hash")
+        # Per-bucket (min, count) via groupBy agg (map-side partial
+        # combine) + join-back, NOT a window: the window form sorts the
+        # ENTIRE 32x-exploded bucket table inside one wide exchange,
+        # while the agg's combiner ships near-unique (band_hash, min,
+        # count) rows and the join-back filtered to >1-member buckets
+        # probes only the ~10% surviving keys. While that survivor list
+        # fits the broadcast threshold AQE makes the join-back a
+        # broadcast probe (the bucket table is then never exchanged a
+        # second time — one wide op total, no sort); at corpus scale it
+        # degrades to a shuffle join (two exchanges vs the window's
+        # one-exchange-plus-full-sort — comparable bytes, no sort).
+        # Then a distinct over the linear sum(m-1) star edges.
+        agg = (
+            buckets.groupBy("band_hash")
+            .agg(F.min("doc_id").alias("m"), F.count("*").alias("n"))
+            .where(F.col("n") > 1)
+            .select("band_hash", "m")
+        )
         return (
-            buckets.withColumn("m", F.min("doc_id").over(w))
-            .withColumn("n", F.count("*").over(w))
-            .where((F.col("n") > 1) & (F.col("doc_id") != F.col("m")))
+            buckets.join(agg, "band_hash")
+            .where(F.col("doc_id") != F.col("m"))
             .select(F.col("m").alias("a"), F.col("doc_id").alias("b"))
             .distinct()
         )

@@ -45,23 +45,51 @@ LINEAGE_SCHEMA = (
     "config_hash string, resumed boolean"
 )
 
+PARTITION_LINEAGE_SCHEMA = "stage string, partition_id int, rows long"
+
+
+def partition_profile(df: DataFrame) -> DataFrame:
+    """(partition_id, rows) of a materialized stage table — the
+    per-partition lineage row of the north rule ("resumable from
+    checkpoint with per-partition lineage + metrics"): skew in a stage's
+    output is visible without re-running it. One cheap job over the
+    checkpointed table (spark_partition_id + map-side count)."""
+    return df.groupBy(F.spark_partition_id().alias("partition_id")).agg(
+        F.count("*").alias("rows")
+    )
+
 
 @dataclass
 class PipelineResult:
     tables: dict = field(default_factory=dict)
     lineage: list = field(default_factory=list)
+    partition_lineage: list = field(default_factory=list)
 
     def lineage_df(self, spark: SparkSession) -> DataFrame:
         return spark.createDataFrame(self.lineage, schema=LINEAGE_SCHEMA)
 
+    def partition_lineage_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            self.partition_lineage, schema=PARTITION_LINEAGE_SCHEMA
+        )
+
 
 class Checkpointer:
-    """Stage-boundary persistence + resume."""
+    """Stage-boundary persistence + resume. ``partition_lineage=True``
+    additionally records a (stage, partition_id, rows) profile of every
+    materialized stage table (one extra cheap job per stage)."""
 
-    def __init__(self, spark: SparkSession, out_dir: str | None, cfg: DedupConfig):
+    def __init__(
+        self,
+        spark: SparkSession,
+        out_dir: str | None,
+        cfg: DedupConfig,
+        partition_lineage: bool = False,
+    ):
         self.spark = spark
         self.out_dir = out_dir
         self.cfg = cfg
+        self.partition_lineage = partition_lineage
         if out_dir:
             os.makedirs(out_dir, exist_ok=True)
             cfg_path = os.path.join(out_dir, "config.json")
@@ -109,6 +137,11 @@ class Checkpointer:
             (stage, df.count(), df.rdd.getNumPartitions(),
              int((time.time() - t0) * 1000), self.cfg.config_hash, False)
         )
+        if self.partition_lineage:
+            result.partition_lineage.extend(
+                (stage, int(r[0]), int(r[1]))
+                for r in partition_profile(df).collect()
+            )
         result.tables[stage] = df
         return df
 
@@ -121,6 +154,7 @@ def run_dedup(
     id_col: str = "doc_id",
     text_col: str = "content",
     include_substrings: bool = False,
+    partition_lineage: bool = False,
 ) -> PipelineResult:
     """The flagship plan (SURVEY.md §3.2 Spark translation).
 
@@ -133,7 +167,7 @@ def run_dedup(
        -> cluster map over ALL doc_ids, cluster_id = min(doc_id).
     """
     cfg = cfg or DedupConfig()
-    ck = Checkpointer(spark, out_dir, cfg)
+    ck = Checkpointer(spark, out_dir, cfg, partition_lineage=partition_lineage)
     res = PipelineResult()
 
     base = files.select(

@@ -162,3 +162,27 @@ def test_star_candidates_same_clusters(spark, corpus):
     p_all = {(r.a, r.b) for r in allm.tables["dup_pairs"].collect()}
     p_star = {(r.a, r.b) for r in star.tables["dup_pairs"].collect()}
     assert p_star <= p_all and len(p_star) > 0
+
+
+def test_partition_lineage_profile(spark, corpus):
+    # north rule: per-partition lineage rows — every materialized stage
+    # gets a (stage, partition_id, rows) profile whose per-stage sum equals
+    # the stage's rows_out; a DataFrame form is exposed for sinks
+    files, _ = corpus
+    df = spark.createDataFrame(files.head(150))
+    res = run_dedup(spark, df, CFG, partition_lineage=True)
+    by_stage = {}
+    for stage, pid, rows in res.partition_lineage:
+        assert rows >= 0 and pid >= 0
+        by_stage[stage] = by_stage.get(stage, 0) + rows
+    totals = {row[0]: row[1] for row in res.lineage}
+    # stages with zero output rows have no per-partition rows (an empty
+    # groupBy) — every non-empty stage must be profiled and sum exactly
+    assert set(by_stage) == {s for s, n in totals.items() if n > 0}
+    for stage, n in by_stage.items():
+        assert n == totals[stage], stage
+    ldf = res.partition_lineage_df(spark)
+    assert set(ldf.columns) == {"stage", "partition_id", "rows"}
+    # default stays off: no extra jobs unless asked
+    res2 = run_dedup(spark, df, CFG)
+    assert res2.partition_lineage == []

@@ -1,0 +1,52 @@
+"""Extra interleaved trials of the primary N -> 4N pair (local[2] vs
+local[8]) in both candidate topologies, for pooling with a full
+bench.py --scaling run (same children, same corpus, fresh JVM per trial).
+
+Usage: python tools/scaling_pair_trials.py [rounds] [out.json]
+"""
+import json
+import os
+import subprocess
+import sys
+
+ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+OUT = sys.argv[2] if len(sys.argv) > 2 else "BENCH/scaling_r4_run2.json"
+N = int(os.environ.get("BENCH_N_FILES", "800000"))
+PATH = f"/dev/shm/spark-bench-files-{N}.parquet"
+BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+
+
+def steal():
+    p = open("/proc/stat").readline().split()
+    return int(p[8]), sum(int(x) for x in p[1:])
+
+
+def run(master, cpus, mode):
+    env = dict(os.environ, SPARK_DRIVER_MEMORY="24g", BENCH_PAIR_MODE=mode)
+    s0, t0 = steal()
+    out = subprocess.run(
+        [sys.executable, BENCH, "--scaling-one", master, str(cpus), str(N), PATH],
+        capture_output=True, text=True, env=env,
+    )
+    s1, t1 = steal()
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            r = json.loads(line[len("RESULT "):])
+            r["cpu_steal_pct"] = round(100 * (s1 - s0) / max(1, t1 - t0), 2)
+            r["pair_mode"] = mode
+            return r
+    raise RuntimeError(out.stderr[-2000:])
+
+
+res = []
+for i in range(ROUNDS):
+    for master, cpus, mode in [
+        ("local[2]", 2, "star"), ("local[8]", 8, "star"),
+        ("local[2]", 2, "all"), ("local[8]", 8, "all"),
+    ]:
+        r = run(master, cpus, mode)
+        res.append(r)
+        print(f"round {i} {mode} {master}: {r['files_per_sec']} f/s "
+              f"steal {r['cpu_steal_pct']}", flush=True)
+        json.dump(res, open(OUT, "w"), indent=1)
+print("done")
