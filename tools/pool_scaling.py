@@ -102,9 +102,9 @@ in the other topology so the headline claim is not an artifact of the
 candidate-generation choice.
 
 Best of the POOLED interleaved trials per level (raw runs:
-BENCH/scaling_r4_run1.json = full 5-level sweep, 3 trials/level;
-BENCH/scaling_r4_run2.json = 4 extra interleaved rounds of the
-local[2]/local[8] pair in BOTH topologies via
+{sys.argv[1]} = full 5-level sweep;
+{sys.argv[2] if len(sys.argv) > 2 else '(none)'} = extra interleaved
+rounds of the local[2]/local[8] pair in BOTH topologies via
 tools/scaling_pair_trials.py). This VM shows intermittent hypervisor
 noise — observed same-command swings up to 2x between trials minutes
 apart; all trials and per-trial steal% are listed so quiet-window bests

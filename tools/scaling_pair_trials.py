@@ -38,11 +38,15 @@ def run(master, cpus, mode):
     raise RuntimeError(out.stderr[-2000:])
 
 
+MODES = os.environ.get("BENCH_PAIR_TRIAL_MODES", "star,all").split(",")
 res = []
+if os.path.exists(OUT) and os.environ.get("BENCH_PAIR_TRIALS_APPEND"):
+    res = json.load(open(OUT))
 for i in range(ROUNDS):
     for master, cpus, mode in [
-        ("local[2]", 2, "star"), ("local[8]", 8, "star"),
-        ("local[2]", 2, "all"), ("local[8]", 8, "all"),
+        (m, c, md)
+        for md in MODES
+        for m, c in (("local[2]", 2), ("local[8]", 8))
     ]:
         r = run(master, cpus, mode)
         res.append(r)
