@@ -160,9 +160,15 @@ def _lsh_pairs(spark, sf_dir, materialize: bool = True):
         )
         # repartition the byte-light, kernel-heavy candidate set so the
         # Arrow shingle pass follows CORES, not the semi-join's byte-sized
-        # partitioning; persist the shingle table — it feeds BOTH sides of
-        # the verify join, and unpersisted it re-runs once per branch
-        # (round-4 measurement in plans/pipeline.py build_dup_pairs)
+        # partitioning. The persist below is BEST-EFFORT: everything here
+        # materializes in one localCheckpoint action, and two concurrent
+        # branch stages can race past an un-counted cache (each computing
+        # the pass once — the pre-persist behavior, no worse). The
+        # pipeline twin (plans/pipeline.py build_dup_pairs) materializes
+        # eagerly with .count() instead, because there the pass is the
+        # measured multi-second cost (9.0 s -> 1.8 s); at driver-query SF
+        # the pass is ~0.3 s and the extra eager jobs cost more than the
+        # race loses (A/B measured: lazy 2.6 s vs eager 3.1 s per query).
         width = max(
             CFG.shuffle_partitions,
             2 * spark.sparkContext.defaultParallelism,
@@ -764,11 +770,14 @@ def _stage_stream_input(src_file: str) -> tuple:
     """FileStreamSource needs a DIRECTORY; the testdata tables are single
     parquet files. Stage a copy into a fresh temp dir (tiny at bench SFs)
     plus sink/checkpoint dirs — fresh per call, so every run is a complete,
-    deterministic AvailableNow drain."""
+    deterministic AvailableNow drain. Dirs are removed at process exit
+    (not per-call: the returned query DataFrame reads the sink lazily)."""
+    import atexit
     import shutil
     import tempfile
 
     base = tempfile.mkdtemp(prefix="sgq-stream-")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
     os.makedirs(f"{base}/in")
     shutil.copy(src_file, f"{base}/in/part-0.parquet")
     return f"{base}/in", f"{base}/sink", f"{base}/ck"

@@ -364,6 +364,9 @@ def main() -> None:
                 f"{r['all_trials_steal_pct']} |"
             )
 
+        # NOTE: tools/pool_scaling.py renders the CANONICAL version of this
+        # report from pooled multi-run trials and overwrites this file —
+        # keep the two templates aligned when editing either.
         with open("BENCH/BASELINE.md", "w") as f:
             f.write(f"""# BENCH baseline — two-cluster-size scaling evidence
 

@@ -489,7 +489,6 @@ def cdc_chunk_table_batch(
     blens = np.array([len(e) for e in enc], dtype=np.int64)
     n_chars = np.array([len(t) if t else 0 for t in texts], dtype=np.int64)
     doc_end = np.cumsum(blens)
-    doc_start = doc_end - blens
     blob = b"".join(enc)
     N = len(blob)
     cuts = [doc_end[blens > 0]]  # forced cut at every non-empty doc end

@@ -349,20 +349,23 @@ def _kmeans_fit_distributed(
                 }
             )
 
-        rows = (
+        # toPandas (Arrow) not collect(): k x d py4j Row objects would cost
+        # ~100x the 8-byte payload each at large k*d; the Arrow transfer is
+        # three flat columns
+        pdf_agg = (
             emb.select(vec_col)
             .mapInPandas(part_sums, schema="cell int, dim int, s double, n long")
             .groupBy("cell", "dim")
             .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
-            .collect()
+            .toPandas()
         )
         b.destroy()
         new = cent.copy()
         cnt = np.zeros(n_cells, np.int64)
         acc = np.zeros((n_cells, dim))
-        for r in rows:
-            acc[r["cell"], r["dim"]] = r["s"]
-            cnt[r["cell"]] = r["n"]
+        cells = pdf_agg["cell"].to_numpy()
+        acc[cells, pdf_agg["dim"].to_numpy()] = pdf_agg["s"].to_numpy()
+        cnt[cells] = pdf_agg["n"].to_numpy()
         live = cnt > 0
         new[live] = acc[live] / cnt[live, None]
         if np.array_equal(new, cent):
@@ -414,7 +417,10 @@ def ivf_topk(
     dim = int(dim_row[0][0]) if dim_row else 1
     row_cap = max(n_cells, min(max_sample, max_sample_bytes // (dim * 8)))
     if fit == "distributed":
-        seed_cap = max(n_cells, 64 * n_cells)
+        # init sample is byte-bounded too (the whole point of this mode is
+        # never holding big vector sets on the driver): ~64 rows per cell,
+        # but never more than the byte budget admits
+        seed_cap = max(n_cells, min(64 * n_cells, max_sample_bytes // (dim * 8)))
         rows = bounded_sample(emb.select(vec_col), seed_cap, seed=seed).collect()
         init = K.kmeans_fit(
             np.asarray([r[0] for r in rows], dtype=np.float64),

@@ -119,24 +119,22 @@ class Checkpointer:
         """Materialize a stage: resume from parquet if complete, else build,
         write, and record lineage."""
         t0 = time.time()
-        if self._complete(stage):
-            df = self.spark.read.parquet(self._path(stage))
-            result.lineage.append(
-                (stage, df.count(), df.rdd.getNumPartitions(),
-                 int((time.time() - t0) * 1000), self.cfg.config_hash, True)
-            )
-            result.tables[stage] = df
-            return df
-        df = build()
-        if self.out_dir:
-            df.write.mode("overwrite").parquet(self._path(stage))
+        resumed = self._complete(stage)
+        if resumed:
             df = self.spark.read.parquet(self._path(stage))
         else:
-            df = df.localCheckpoint(eager=True)
+            df = build()
+            if self.out_dir:
+                df.write.mode("overwrite").parquet(self._path(stage))
+                df = self.spark.read.parquet(self._path(stage))
+            else:
+                df = df.localCheckpoint(eager=True)
         result.lineage.append(
             (stage, df.count(), df.rdd.getNumPartitions(),
-             int((time.time() - t0) * 1000), self.cfg.config_hash, False)
+             int((time.time() - t0) * 1000), self.cfg.config_hash, resumed)
         )
+        # profile on BOTH paths: a resumed run must not come back with an
+        # empty per-partition table (dedup_job overwrites its output)
         if self.partition_lineage:
             result.partition_lineage.extend(
                 (stage, int(r[0]), int(r[1]))

@@ -58,8 +58,11 @@ def test_spark_submit_pyfiles_job(spark, tmp_path):
     pl = spark.read.parquet(f"{outdir}/partition_lineage")
     assert pl.count() > 0
 
-    # resume: second run must reuse every completed stage from the checkpoint
+    # resume: second run must reuse every completed stage from the
+    # checkpoint AND still produce a populated per-partition profile (the
+    # resumed branch must profile too — it overwrites the output table)
     r2 = subprocess.run(cmd, capture_output=True, text=True, env=env, timeout=420)
     assert r2.returncode == 0, r2.stderr[-3000:]
     lineage2 = spark.read.parquet(f"{outdir}/lineage")
     assert all(row.resumed for row in lineage2.collect())
+    assert spark.read.parquet(f"{outdir}/partition_lineage").count() > 0

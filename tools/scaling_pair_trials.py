@@ -40,8 +40,15 @@ def run(master, cpus, mode):
 
 MODES = os.environ.get("BENCH_PAIR_TRIAL_MODES", "star,all").split(",")
 res = []
-if os.path.exists(OUT) and os.environ.get("BENCH_PAIR_TRIALS_APPEND"):
-    res = json.load(open(OUT))
+if os.path.exists(OUT):
+    if os.environ.get("BENCH_PAIR_TRIALS_APPEND"):
+        res = json.load(open(OUT))
+    else:
+        # never silently truncate recorded benchmark evidence
+        sys.exit(
+            f"{OUT} exists; set BENCH_PAIR_TRIALS_APPEND=1 to pool into "
+            "it or pass a different output path"
+        )
 for i in range(ROUNDS):
     for master, cpus, mode in [
         (m, c, md)
