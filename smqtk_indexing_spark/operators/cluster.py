@@ -55,16 +55,54 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _union_find_assign(pairs: list) -> dict:
+    """Driver-side union-find with path compression; root = component min
+    (same labels as the distributed star fixpoint)."""
+    parent: dict = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    seen = set()
+    for a, b in pairs:
+        seen.add(a)
+        seen.add(b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in seen}
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame | None = None,
     max_iter: int = 50,
     fused_rounds: int = 1,
+    driver_edge_cap: int = 2_000_000,
 ) -> DataFrame:
     """(a, b) undirected edges -> (doc_id, cluster_id=min of component).
 
     ``nodes`` (single column ``doc_id``) optionally adds isolated vertices,
     which come back as singleton clusters.
+
+    Hybrid execution (``driver_edge_cap``): the distinct edge set is
+    counted once; at or below the cap (default 2M edges ~= 32 MB of
+    longs — the same bounded-driver-collect budget family as the IVF
+    sample fit) the closure runs as driver-side union-find in one pass —
+    the star loop's per-round job latency (~1 s x O(log n) rounds) is
+    pure fixed cost on a graph this small, the dominant non-scaling term
+    in the bench's clusters stage. Above the cap: the distributed
+    large-star/small-star fixpoint, unchanged — at 10^12-file scale the
+    exact-dup member edges alone are O(corpus) and must never be
+    collected. Labels are identical on both paths (component minimum;
+    parity pytest on random graphs). ``driver_edge_cap=0`` forces the
+    distributed path.
 
     ``fused_rounds`` large/small-star rounds run per materialized job.
     MEASURED ANTI-OPTIMIZATION above 1 (round-2 VERDICT item 6 tried and
@@ -85,6 +123,28 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if driver_edge_cap and e.count() <= driver_edge_cap:
+        spark = edges.sparkSession
+        # plain collect: the cap bounds this at ~32 MB of longs, and a
+        # single fetch beats toLocalIterator's per-partition round-trips
+        assign = _union_find_assign([(r[0], r[1]) for r in e.collect()])
+        rows = [(int(k), int(v)) for k, v in assign.items()]
+        out = (
+            spark.createDataFrame(rows, "doc_id long, cluster_id long")
+            if rows
+            else spark.createDataFrame([], "doc_id long, cluster_id long")
+        )
+        if nodes is not None:
+            singletons = (
+                nodes.select(
+                    F.col(nodes.columns[0]).cast("long").alias("doc_id")
+                )
+                .join(out, "doc_id", "left_anti")
+                .withColumn("cluster_id", F.col("doc_id"))
+            )
+            out = out.unionByName(singletons)
+        return out.distinct()
+
     def _sig(df: DataFrame) -> tuple:
         # one-action convergence fingerprint: (count, wrapped hash sum)
         row = df.agg(

@@ -24,8 +24,9 @@ def _truth_labels(n_nodes, edges):
     return {i: find(i) for i in range(n_nodes)}
 
 
+@pytest.mark.parametrize("cap", [2_000_000, 0])  # driver union-find / distributed star
 @pytest.mark.parametrize("seed,n,m", [(1, 30, 20), (2, 100, 80), (3, 200, 300)])
-def test_cc_matches_union_find(spark, seed, n, m):
+def test_cc_matches_union_find(spark, seed, n, m, cap):
     rng = np.random.default_rng(seed)
     edges = {
         (int(min(a, b)), int(max(a, b)))
@@ -36,18 +37,20 @@ def test_cc_matches_union_find(spark, seed, n, m):
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     got = {
         r.doc_id: r.cluster_id
-        for r in connected_components(e, nodes=nodes).collect()
+        for r in connected_components(e, nodes=nodes, driver_edge_cap=cap).collect()
     }
     want = _truth_labels(n, edges)
     assert got == want
 
 
 def test_cc_chain_and_singletons(spark):
-    # a long path graph stresses the O(log n) convergence
+    # a long path graph stresses the O(log n) convergence (distributed
+    # path forced: the driver fast path has no round structure to stress)
     chain = [(i, i + 1) for i in range(0, 63)]
     e = spark.createDataFrame(chain, "a long, b long")
     nodes = spark.createDataFrame([(i,) for i in range(70)], "doc_id long")
-    got = {r.doc_id: r.cluster_id for r in connected_components(e, nodes=nodes).collect()}
+    got = {r.doc_id: r.cluster_id for r in connected_components(
+        e, nodes=nodes, driver_edge_cap=0).collect()}
     for i in range(64):
         assert got[i] == 0
     for i in range(64, 70):
