@@ -50,6 +50,21 @@ def main() -> None:
         # plan shows the real topology, not a checkpoint scan
         if name == "near_dup_pairs_lsh":
             return E._lsh_pairs(spark, sf_dir, materialize=False)
+        if name == "dup_clusters":
+            # force the DISTRIBUTED star path: the hybrid's driver
+            # union-find fast path (taken at sf0.01's tiny edge count)
+            # would capture a trivial local-relation plan instead of the
+            # production topology
+            from smqtk_indexing_spark.operators.cluster import (
+                connected_components,
+            )
+
+            docs = E._docs(spark, sf_dir).select("doc_id")
+            return connected_components(
+                E._lsh_pairs(spark, sf_dir).select("a", "b"),
+                nodes=docs,
+                driver_edge_cap=0,
+            ).select("doc_id", "cluster_id")
         if name == "substring_containment":
             from smqtk_indexing_spark.operators.substrings import substring_pairs
 
