@@ -61,7 +61,10 @@ def compute_signatures(
     inc_mh = "minhash" in include
     inc_sim = "simhash" in include
     inc_bands = "bands" in include
+    inc_sha = "sha256" in include
     schema = "doc_id long, n_tokens int, n_shingles int"
+    if inc_sha:
+        schema += ", sha256 string"
     if inc_sh:
         schema += ", shingles array<long>"
     if inc_mh:
@@ -103,6 +106,10 @@ def compute_signatures(
                 "n_tokens": n_tokens.astype(np.int32),
                 "n_shingles": n_shingles,
             }
+            if inc_sha:
+                # computed JVM-side (Catalyst sha2 in the projection feeding
+                # this pass) and forwarded — same single content scan
+                cols["sha256"] = pdf["sha256"]
             if inc_sh:
                 vi = values.view(np.int64)
                 cols["shingles"] = [
@@ -128,9 +135,16 @@ def compute_signatures(
                     cols["simhash"] = sim.view(np.int64)
             yield pd.DataFrame(cols)
 
-    return df.select(
-        F.col(id_col).cast("long").alias(id_col), F.col(text_col)
-    ).mapInPandas(gen, schema=schema)
+    proj = [F.col(id_col).cast("long").alias(id_col), F.col(text_col)]
+    if inc_sha:
+        # sha256 piggybacks on the signature scan (the pipeline's exact-dup
+        # member map derives from THIS column): one content pass computes
+        # hash + signatures instead of two scans (round-4 stage table:
+        # member_map's separate scan was 6.3 s at local[2], scaling 0.44)
+        proj.append(
+            F.sha2(F.encode(F.col(text_col), "utf-8"), 256).alias("sha256")
+        )
+    return df.select(*proj).mapInPandas(gen, schema=schema)
 
 
 def compute_shingle_arrays(

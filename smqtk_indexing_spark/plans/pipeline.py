@@ -172,24 +172,28 @@ def run_dedup(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
     )
 
-    member_map = ck.run(
-        "member_map", lambda: X.member_map(base), res
-    )
-    reps_ids = member_map.where(F.col("doc_id") == F.col("rep_id")).select("doc_id")
-
-    # Content NEVER shuffles in the hot path: signatures are computed in a
-    # single narrow pass over the raw scan (no upstream join), and the
-    # exact-dup representative filter is applied to the LEAN signature
-    # table (~300 B/doc: bands + simhash) instead of to the content rows.
-    # Recomputing signatures for duplicate content costs ~dup-fraction of
-    # kernel CPU; shuffling the full corpus content (the alternative) costs
-    # a sort/spill of the whole dataset — CPU is the cheaper currency at
-    # 100 TB. Shingle arrays are fetched later for candidate docs only.
+    # Content NEVER shuffles in the hot path, and it is scanned exactly
+    # ONCE: the signature pass carries the Catalyst-computed content sha256
+    # through the same scan (round-4's separate member_map scan was 6.3 s
+    # at local[2] with 0.44 scaling efficiency — a pure scan floor), and
+    # the exact-dup representative filter is applied to the LEAN signature
+    # table (~300 B/doc: bands + simhash + sha) instead of to the content
+    # rows. Recomputing signatures for duplicate content costs
+    # ~dup-fraction of kernel CPU; shuffling the full corpus content (the
+    # alternative) costs a sort/spill of the whole dataset — CPU is the
+    # cheaper currency at 100 TB. Shingle arrays are fetched later for
+    # candidate docs only.
     sigs_all = ck.run(
         "signatures",
-        lambda: compute_signatures(base, cfg, include=("simhash", "bands")),
+        lambda: compute_signatures(
+            base, cfg, include=("simhash", "bands", "sha256")
+        ),
         res,
     )
+    member_map = ck.run(
+        "member_map", lambda: X.member_map_from_sigs(sigs_all), res
+    )
+    reps_ids = member_map.where(F.col("doc_id") == F.col("rep_id")).select("doc_id")
     sigs = sigs_all.join(reps_ids, "doc_id", "left_semi")
 
     buckets = band_buckets(sigs, cfg)
@@ -314,19 +318,23 @@ def update_dedup(
     new_ids = new_ids.select(F.col(new_ids.columns[0]).cast("long").alias("doc_id"))
     new_docs = base.join(new_ids, "doc_id", "left_semi")
 
-    # exact-dup map over the whole corpus (one (id, sha) exchange — cheap)
-    mm = X.member_map(base).localCheckpoint(eager=True)
-    res.tables["member_map"] = mm
-    reps_ids = mm.where(F.col("doc_id") == F.col("rep_id")).select("doc_id")
-
     # signatures: prior table + one vectorized pass over the new batch only;
     # ids already indexed are skipped (duplicate-insert warn+skip contract,
     # reference impls/nn_index/faiss.py:590-598)
     old_sigs = prior.tables["signatures"]
     new_docs = new_docs.join(old_sigs.select("doc_id"), "doc_id", "left_anti")
-    new_sigs = compute_signatures(new_docs, cfg, include=("simhash", "bands"))
+    new_sigs = compute_signatures(
+        new_docs, cfg, include=("simhash", "bands", "sha256")
+    )
     sigs_all = old_sigs.unionByName(new_sigs).localCheckpoint(eager=True)
     res.tables["signatures"] = sigs_all
+
+    # exact-dup map over the whole corpus from the LEAN signature union —
+    # content is scanned only for the new batch, never re-scanned for the
+    # prior corpus (same single-scan contract as run_dedup)
+    mm = X.member_map_from_sigs(sigs_all).localCheckpoint(eager=True)
+    res.tables["member_map"] = mm
+    reps_ids = mm.where(F.col("doc_id") == F.col("rep_id")).select("doc_id")
     sigs = sigs_all.join(reps_ids, "doc_id", "left_semi")
 
     # candidate pairs touching at least one NEW doc: semi-join the bucket

@@ -109,7 +109,7 @@ def test_checkpoint_resume_and_lineage(spark, corpus, tmp_path):
     assert os.path.exists(os.path.join(out, "clusters", "_SUCCESS"))
     stages = [row[0] for row in r1.lineage]
     assert stages == [
-        "member_map", "signatures", "hot_buckets", "cand_pairs",
+        "signatures", "member_map", "hot_buckets", "cand_pairs",
         "dup_pairs", "clusters",
     ]
 
