@@ -109,6 +109,25 @@ def q_near_dup_pairs_bruteforce(spark, sf_dir):
 _PAIR_MEMO: dict = {}
 
 
+_DOCS_COUNT_MEMO: dict = {}
+
+
+def _docs_count(spark, sf_dir: str) -> int:
+    """Memoized corpus row count (parquet metadata count — no data scan).
+    Gates scale-only materializations like the ranked-hot-bucket persist;
+    testdata is immutable per the driver contract, so one count per
+    (context, sf_dir) is safe for the process lifetime."""
+    key = (id(spark.sparkContext), sf_dir)
+    n = _DOCS_COUNT_MEMO.get(key)
+    if n is None:
+        # raw read, not _docs(): the count folds to parquet row-group
+        # metadata with no repartition in the plan
+        n = _DOCS_COUNT_MEMO[key] = spark.read.parquet(
+            f"{sf_dir}/documents.parquet"
+        ).count()
+    return n
+
+
 def _memo_evict_stopped() -> None:
     """Drop memo entries whose SparkContext has been stopped — otherwise a
     dead context (and its checkpointed blocks) stays referenced for the
@@ -142,13 +161,18 @@ def _lsh_pairs(spark, sf_dir, materialize: bool = True):
     docs = _docs(spark, sf_dir)
     sigs = compute_signatures(docs, CFG, include=("bands",))
     buckets = band_buckets(sigs, CFG)
-    # persist the shared ranked-hot-bucket table: all-mode candidate
-    # branches otherwise re-derive it once each (see
-    # candidates.ranked_hot_buckets)
-    ranked = ranked_hot_buckets(buckets, CFG)
+    # Materializing the shared ranked-hot-bucket table stops the all-mode
+    # candidate branches re-deriving it once each (see
+    # candidates.ranked_hot_buckets) — a measured win at corpus scale
+    # (round 4: cand stage ~22 s -> ~9 s on 400k docs at local[8]) but a
+    # net LOSS at driver-query SF, where the persist's extra
+    # materialization jobs cost more than the tiny duplicated derivation
+    # (round-5 A/B at sf0.1, warm, 3 trials: lazy 3.45-3.56 s vs persisted
+    # 3.65-3.92 s per query). Gate on corpus size via one memoized
+    # metadata-count job per (context, sf_dir).
+    use_ranked = materialize and _docs_count(spark, sf_dir) >= 50_000
+    ranked = ranked_hot_buckets(buckets, CFG).persist() if use_ranked else None
     sh = None
-    if materialize:
-        ranked = ranked.persist()
     cand = candidate_pairs(buckets, CFG, ranked=ranked)
     if materialize:
         cand = cand.persist()
@@ -158,24 +182,30 @@ def _lsh_pairs(spark, sf_dir, materialize: bool = True):
             .unionAll(cand.select(F.col("b").alias("doc_id")))
             .distinct()
         )
-        # repartition the byte-light, kernel-heavy candidate set so the
-        # Arrow shingle pass follows CORES, not the semi-join's byte-sized
-        # partitioning. The persist below is BEST-EFFORT: everything here
+        # Size-gated content fetch, same rule as the pipeline twin
+        # (plans/pipeline.py build_dup_pairs): under cfg.broadcast_id_cap
+        # docs, broadcast the id set so content never leaves its scan
+        # partitions; above it, shuffle-hash + core-count repartition.
+        # The shingle persist below is BEST-EFFORT: everything here
         # materializes in one localCheckpoint action, and two concurrent
         # branch stages can race past an un-counted cache (each computing
         # the pass once — the pre-persist behavior, no worse). The
-        # pipeline twin (plans/pipeline.py build_dup_pairs) materializes
-        # eagerly with .count() instead, because there the pass is the
-        # measured multi-second cost (9.0 s -> 1.8 s); at driver-query SF
-        # the pass is ~0.3 s and the extra eager jobs cost more than the
-        # race loses (A/B measured: lazy 2.6 s vs eager 3.1 s per query).
-        width = max(
-            CFG.shuffle_partitions,
-            2 * spark.sparkContext.defaultParallelism,
-        )
-        cand_docs = docs.join(
-            cand_ids.hint("shuffle_hash"), "doc_id", "left_semi"
-        ).repartition(width)
+        # pipeline twin materializes eagerly with .count() instead,
+        # because there the pass is the measured multi-second cost
+        # (9.0 s -> 1.8 s); at driver-query SF the pass is ~0.3 s and the
+        # extra eager jobs cost more than the race loses (A/B measured:
+        # lazy 2.6 s vs eager 3.1 s per query).
+        if not materialize or _docs_count(spark, sf_dir) <= CFG.broadcast_id_cap:
+            # (plan capture takes the broadcast branch without the count job)
+            cand_docs = docs.join(F.broadcast(cand_ids), "doc_id", "left_semi")
+        else:
+            width = max(
+                CFG.shuffle_partitions,
+                2 * spark.sparkContext.defaultParallelism,
+            )
+            cand_docs = docs.join(
+                cand_ids.hint("shuffle_hash"), "doc_id", "left_semi"
+            ).repartition(width)
         sh = compute_shingle_arrays(cand_docs, CFG)
         if materialize:
             sh = sh.persist()
@@ -191,7 +221,8 @@ def _lsh_pairs(spark, sf_dir, materialize: bool = True):
     finally:
         if materialize:
             cand.unpersist()
-            ranked.unpersist()
+            if ranked is not None:
+                ranked.unpersist()
             if sh is not None:
                 sh.unpersist()
 

@@ -8,8 +8,10 @@ Default mode (driver contract): run the headline queries at
 Scaling mode (north rule evidence): ``python bench.py --scaling`` runs the
 identical dedup job on the identical synthetic files corpus at
 local[2]/[8]/[16]/[32] (BENCH_TRIALS trials each, fresh JVM per trial),
-reports files/sec per level plus N->4N scaling efficiencies, and writes
-BENCH/BASELINE.md. The sandbox has no multi-node cluster; parallelism
+reports files/sec per level plus N->4N scaling efficiencies, and writes a
+timestamped raw report under BENCH/ (the pooled, authoritative
+BENCH/BASELINE.md is written ONLY by tools/pool_scaling.py over all raw
+runs). The sandbox has no multi-node cluster; parallelism
 levels on the same input are the driver-sanctioned stand-in for N vs 4N
 executors. Knobs: BENCH_N_FILES, BENCH_TRIALS, BENCH_PAIR_MODE,
 BENCH_INPUT_PATH.
@@ -21,6 +23,19 @@ import json
 import os
 import sys
 import time
+
+
+def _steal_counters() -> tuple:
+    """(steal_jiffies, total_jiffies) from /proc/stat — hypervisor CPU
+    steal telemetry so every published timing can be attributed as
+    quiet-window or noisy (this VM shows intermittent steal up to ~8%,
+    enough to swing same-command walls 2x)."""
+    p = open("/proc/stat").readline().split()
+    return int(p[8]), sum(int(x) for x in p[1:])
+
+
+def _steal_pct(before: tuple, after: tuple) -> float:
+    return round(100 * (after[0] - before[0]) / max(1, after[1] - before[1]), 2)
 
 
 def _fresh_spark(master: str, shuffle_partitions: int):
@@ -58,8 +73,9 @@ def _warm_workers(spark) -> None:
     ).count()
 
 
-def run_headline(spark, sf_dir: str) -> dict:
-    """Headline queries at sf_dir; returns per-query wall seconds."""
+def run_headline(spark, sf_dir: str) -> tuple[dict, dict]:
+    """Headline queries at sf_dir; returns (per-query wall seconds,
+    extras dict with steal telemetry + warm-input disclosures)."""
     import __spark_entry__ as E
 
     _warm_workers(spark)
@@ -79,6 +95,8 @@ def run_headline(spark, sf_dir: str) -> dict:
     ]
     qs = E.queries()
     out = {}
+    steal = {}
+    run_s0 = _steal_counters()
     for name in names:
         # untimed warm pass at the tiny SF: JIT/codegen-compile this exact
         # plan shape once, as a long-lived production cluster would have
@@ -86,11 +104,16 @@ def run_headline(spark, sf_dir: str) -> dict:
         # a ~9s cold near_dup_pairs_lsh at sf0.1 — pure one-time JVM cost,
         # not query work.
         qs[name](spark, warm_dir).count()
+        s0 = _steal_counters()
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()
         out[name] = round(time.time() - t0, 3)
-        print(f"  {name}: {n} rows in {out[name]}s", file=sys.stderr)
+        steal[name] = _steal_pct(s0, _steal_counters())
+        print(
+            f"  {name}: {n} rows in {out[name]}s (steal {steal[name]}%)",
+            file=sys.stderr,
+        )
     # Disclosure (round-3 VERDICT item 6): dup_clusters above reuses the
     # pair stage memoized by near_dup_pairs_lsh earlier in this process
     # (__spark_entry__._PAIR_MEMO — deliberate production stage reuse, but
@@ -107,6 +130,8 @@ def run_headline(spark, sf_dir: str) -> dict:
             "by near_dup_pairs_lsh in the same process (_PAIR_MEMO)"
         },
         "dup_clusters_cold_sec": cold,
+        "query_steal_pct": steal,
+        "cpu_steal_pct": _steal_pct(run_s0, _steal_counters()),
     }
     return out, extras
 
@@ -239,12 +264,8 @@ def main() -> None:
             ).parquet(input_path)
             spark.stop()
 
-        def _steal() -> tuple:
-            p = open("/proc/stat").readline().split()
-            return int(p[8]), sum(int(x) for x in p[1:])
-
         def _run(master: str, cpus: int, pair_mode: str | None = None) -> dict:
-            s0, t0 = _steal()
+            s0, t0 = _steal_counters()
             child_env = dict(env)
             if pair_mode:
                 child_env["BENCH_PAIR_MODE"] = pair_mode
@@ -254,7 +275,7 @@ def main() -> None:
                 capture_output=True, text=True, env=child_env,
                 cwd=os.path.dirname(__file__) or ".",
             )
-            s1, t1 = _steal()
+            s1, t1 = _steal_counters()
             for line in out.stdout.splitlines():
                 if line.startswith("RESULT "):
                     r = json.loads(line[len("RESULT "):])
@@ -348,126 +369,20 @@ def main() -> None:
         }
         print(json.dumps(report, indent=2), file=sys.stderr)
         os.makedirs("BENCH", exist_ok=True)
-        stage_rows = "\n".join(
-            f"| {s} | {r2['stage_wall_ms'].get(s, '-')} | "
-            f"{r4['stage_wall_ms'].get(s, '-')} | "
-            f"{r8['stage_wall_ms'].get(s, '-')} | "
-            f"{r16['stage_wall_ms'].get(s, '-')} | "
-            f"{r32['stage_wall_ms'].get(s, '-')} |"
-            for s in r8["stage_wall_ms"]
+        # NON-DESTRUCTIVE by design (round-4 VERDICT item 1): a raw sweep
+        # never overwrites the pooled, authoritative BENCH/BASELINE.md —
+        # that file is written ONLY by tools/pool_scaling.py over ALL raw
+        # runs on disk. Each sweep lands in its own timestamped file.
+        raw_path = time.strftime("BENCH/scaling_raw_%Y%m%d_%H%M%S.json")
+        with open(raw_path + ".tmp", "w") as f:
+            json.dump(report, f, indent=1)
+        os.replace(raw_path + ".tmp", raw_path)
+        print(
+            f"raw sweep -> {raw_path}; regenerate the pooled BASELINE.md "
+            "with: python tools/pool_scaling.py BENCH/scaling_raw_*.json "
+            "BENCH/scaling_r*_*.json",
+            file=sys.stderr,
         )
-
-        def _row(name, r):
-            return (
-                f"| {name} | {r['wall_sec']} | {r['files_per_sec']} | "
-                f"{r['n_clusters']} | {r['all_trials_files_per_sec']} | "
-                f"{r['all_trials_steal_pct']} |"
-            )
-
-        # NOTE: tools/pool_scaling.py renders the CANONICAL version of this
-        # report from pooled multi-run trials and overwrites this file —
-        # keep the two templates aligned when editing either.
-        with open("BENCH/BASELINE.md", "w") as f:
-            f.write(f"""# BENCH baseline — two-cluster-size scaling evidence
-
-North-rule criterion: throughput scaling efficiency >= 0.8 from N to 4N
-executors. Sandbox stand-in (per driver instruction): the identical dedup
-job (sha256 exact collapse -> vectorized signatures -> LSH band buckets ->
-candidate pair generation -> exact-Jaccard verify -> connected components)
-on the identical parquet corpus (n={n_files}, seed=42, sources/files.py)
-at several local parallelism levels, each level in a fresh JVM, shuffle on
-tmpfs, python worker pools warmed before the timed window.
-
-**Candidate topology: pair_mode='{pair_mode}'** for the primary table
-below (`DedupConfig.pair_mode`; BENCH_PAIR_MODE overrides). 'star' is the
-member->bucket-minimum connectivity skeleton — linear in corpus size, the
-10^12-file clustering configuration, cluster-assignment parity with 'all'
-pytest-gated and shown via identical cluster counts here; 'all' is the
-oracle-checked full pair enumeration (the topology the driver correctness
-gate verifies value-for-value against DuckDB). The secondary
-pair_mode='{alt_mode}' section below re-measures the primary N -> 4N pair
-in the other topology so the headline claim is not an artifact of the
-candidate-generation choice.
-
-Best of N trials per level (this VM shows intermittent hypervisor noise —
-observed same-command swings up to 2x between trials minutes apart, with
-reported steal%% of 0-7; all trials and per-trial steal% reported so
-quiet-window bests are auditable).
-
-| parallelism | wall (s) | files/sec | clusters | trials (files/sec) | steal% |
-|---|---|---|---|---|---|
-{_row('local[2]', r2)}
-{_row('local[4]', r4)}
-{_row('local[8]', r8)}
-{_row('local[16]', r16)}
-{_row('local[32]', r32)}
-
-**Primary N -> 4N evidence — local[2] -> local[8]: efficiency =
-{eff_2_8:.3f}; local[4] -> local[16]: efficiency = {eff_4_16:.3f}**
-(target >= 0.8). These pairs sit in the machine's linear regime, so they
-isolate ENGINE scaling (shuffle layout, partitioning, skew handling) from
-single-box hardware limits. Trials are interleaved round-robin across
-levels so each level's best-of samples several hypervisor-noise windows.
-
-Secondary — local[8] -> local[32] (x4): efficiency = {eff_8_32:.3f}. The
-local[16] level locates the box's saturation knee between 16 and 32
-threads.
-
-## Primary pair re-measured in pair_mode='{alt_mode}'
-
-| parallelism | wall (s) | files/sec | clusters | trials (files/sec) | steal% |
-|---|---|---|---|---|---|
-{_row('local[2]', a2)}
-{_row('local[8]', a8)}
-
-pair_mode='{alt_mode}' local[2] -> local[8] efficiency = {alt_eff_2_8:.3f}.
-Cluster counts agree between topologies at every level
-({a8['n_clusters']} vs {r8['n_clusters']}) — the connectivity-skeleton
-candidates and the full pair enumeration close over the same components.
-
-## The 8 -> 32 regime on this box
-
-Above ~8-16 threads this VM's throughput is hypervisor-dependent: the
-pure-kernel ceiling below (no Spark, no shuffle, plain OS processes,
-embarrassingly parallel) itself swings between ~0.65 and ~1.03 efficiency
-for 8 -> 32 across runs, so any engine number in that regime inherits the
-same variance. The engine-attributable evidence is the 2 -> 8 pair plus
-the per-stage scaling table: the signature stage alone measures 1.03
-scaling efficiency 2 -> 8 with python workers at 97% CPU saturation.
-
-A second, engine-side 8 -> 32 effect was root-caused and fixed in round
-3: a stage that fuses a shuffle-read with a pandas-UDF pass runs every
-core's JVM task thread AND its python worker concurrently — 2x runnable
-threads per task slot — which is invisible while task slots leave spare
-vCPUs (local[8] = 16 threads on 32 vCPUs) and anti-scales once they
-don't (local[32] = 64 threads). The dup_pairs stage measured 6.9 s at
-local[8] but 24.0 s at local[32] fused; with a materialization boundary
-between the content exchange and the shingle pass
-(plans/pipeline.py build_dup_pairs) it is 8.3 s / 9.8 s — inversion
-gone. The same boundary decouples executor-core contention between
-shuffle-read and UDF phases on a real cluster.
-
-| processes | kernel docs/sec |
-|---|---|
-| 8 | {report['kernel_ceiling_docs_per_sec']['8']} |
-| 32 | {report['kernel_ceiling_docs_per_sec']['32']} |
-
-Hardware ceiling for 8 -> 32 = {hw_eff:.3f}; the engine achieves
-{rel_eff:.3f} of that ceiling. On a real N -> 4N EXECUTOR cluster each
-node brings its own bandwidth/clock budget (the regime the local[2] ->
-local[8] pair emulates), and every shuffle key in the pipeline (sha256,
-band_hash, pair ids) is a single hash-partitionable column with AQE
-handling residual skew — nothing in the plan is serialized on a driver.
-
-Per-stage wall (ms), best trial:
-
-| stage | local[2] | local[4] | local[8] | local[16] | local[32] |
-|---|---|---|---|---|---|
-{stage_rows}
-
-Cluster counts are identical across all parallelism levels (determinism
-check).
-""")
         print(json.dumps(report))
         return
 

@@ -40,6 +40,30 @@ def get_spark(
         # shuffle/spill to tmpfs in this sandbox (a real cluster has local
         # NVMe for this); avoids rotating-disk I/O variance in local mode
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+        # Finer file splits than the 128m default: Spark sizes scan splits
+        # as min(maxPartitionBytes, bytes/defaultParallelism), i.e. EXACTLY
+        # one wave per core — and this engine's scans feed CPU-bound Arrow
+        # kernel passes where one wave is straggler-bound and any
+        # broadcast-filtered scan inherits the coarse splits. 16m gives the
+        # scheduler several waves per core at bench scale (measured
+        # local[32] signature pass on the 800 MB corpus: 18.6 s -> 10.9 s
+        # quiet-window). A 100 TB job should raise this (SPARK_GRAFT_MAX
+        # env) to bound task count; the right value keeps ~2-4 waves/core.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
+        # 64m broadcast threshold (Spark's 10m default assumes ~1 GB
+        # executors): the hot-bucket size table (~1M rows / 17 MB on the
+        # 800k bench corpus) then broadcasts instead of re-exchanging the
+        # 24M-row bucket-membership table a second time (measured at
+        # local[2], quiet window: cand stage 27 s -> 21.5 s). AQE decides
+        # from RUNTIME sizes, so at corpus scale oversized builds still
+        # fall back to shuffle joins automatically.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get("SPARK_GRAFT_BCAST_THRESHOLD", "64m"),
+        )
     )
     # shuffle compression codec: the candidate-stage bucket exchange is the
     # one unavoidable all-to-all; codec choice trades CPU for bytes on the

@@ -9,8 +9,14 @@ import os
 import subprocess
 import sys
 
+import time
+
 ROUNDS = int(sys.argv[1]) if len(sys.argv) > 1 else 3
-OUT = sys.argv[2] if len(sys.argv) > 2 else "BENCH/scaling_r4_run2.json"
+OUT = (
+    sys.argv[2]
+    if len(sys.argv) > 2
+    else time.strftime("BENCH/pair_trials_%Y%m%d_%H%M%S.json")
+)
 N = int(os.environ.get("BENCH_N_FILES", "800000"))
 PATH = f"/dev/shm/spark-bench-files-{N}.parquet"
 BENCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
@@ -59,5 +65,10 @@ for i in range(ROUNDS):
         res.append(r)
         print(f"round {i} {mode} {master}: {r['files_per_sec']} f/s "
               f"steal {r['cpu_steal_pct']}", flush=True)
-        json.dump(res, open(OUT, "w"), indent=1)
+        # write-then-rename: a crash mid-dump must not destroy previously
+        # recorded trials (the never-truncate-evidence guard above would
+        # be moot otherwise)
+        with open(OUT + ".tmp", "w") as f:
+            json.dump(res, f, indent=1)
+        os.replace(OUT + ".tmp", OUT)
 print("done")
