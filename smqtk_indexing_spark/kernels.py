@@ -671,7 +671,11 @@ def find_containments(texts: list, min_len: int = 1) -> list:
     bounds = np.array(starts + [len(blob) + 1], dtype=np.int64)
     out = set()
     for i, t in enumerate(texts):
-        if len(t) < min_len:
+        # empty-needle handling mirrors the SA kernel exactly (ADVICE r4):
+        # an empty text is never a "proper substring" candidate — without
+        # this guard the twins diverge at min_len=0 (blob.find(b"") matches
+        # everywhere, pairing every empty text with every longer doc)
+        if len(t) < min_len or not t:
             continue
         needle = t.encode("utf-8")
         start = 0

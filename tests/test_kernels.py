@@ -249,6 +249,12 @@ def test_find_containments_sa_matches_brute_short_heavy():
     docs = ["".join(chr(97 + int(c)) for c in rng.integers(0, 3, size=int(s)))
             for s in rng.integers(1, 80, size=40)]
     assert K.find_containments_sa(docs) == K.find_containments(docs)
+    # min_len=0 with EMPTY texts: both kernels must agree that an empty
+    # text is never a proper-substring candidate (ADVICE r4 twin parity)
+    edge = ["", "abc", "", "abcabc", "b"]
+    assert K.find_containments_sa(edge, min_len=0) == K.find_containments(
+        edge, min_len=0
+    ) == [(1, 3), (4, 1), (4, 3)]
 
 
 # --- vector functors (reference parity) ---

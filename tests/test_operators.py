@@ -82,6 +82,29 @@ def test_salted_path_equals_normal_path(spark):
     assert len(normal) == 40 * 39 // 2
 
 
+def test_giant_bucket_at_bucket_cap_bounded_rows(spark):
+    # one bucket at EXACTLY bucket_cap members, many blocks (round-4
+    # VERDICT item 4): the block-pair machinery must enumerate all
+    # C(m, 2) pairs without materializing the nested block-pair array in
+    # a single row — index pairs explode first, blocks are sliced per
+    # exploded row (peak per-row = one block pair, ~2 x salt rows).
+    from dataclasses import replace
+
+    m, salt = 2000, 64
+    cfg = replace(CFG, bucket_cap=m, salt_block_rows=salt)
+    buckets = spark.createDataFrame(
+        [(7, i) for i in range(m)], "band_hash long, doc_id long"
+    )
+    out = candidate_pairs(buckets, cfg, salt_threshold=salt)
+    assert out.count() == m * (m - 1) // 2
+    # spot parity with the unsalted path on a slice of the id space
+    sample = {
+        (r.a, r.b)
+        for r in out.where((F.col("a") < 10) & (F.col("b") < 10)).collect()
+    }
+    assert sample == {(a, b) for a in range(10) for b in range(a + 1, 10)}
+
+
 def test_hybrid_mixed_small_and_giant_buckets(spark):
     # corpus with BOTH a giant bucket family (30 identical docs -> giant at
     # salt_threshold=8) and small-bucket near-dup groups in the same run:
