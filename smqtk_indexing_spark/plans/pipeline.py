@@ -190,9 +190,15 @@ def run_dedup(
         ),
         res,
     )
-    member_map = ck.run(
-        "member_map", lambda: X.member_map_from_sigs(sigs_all), res
+    # a signature checkpoint resumed from a pre-r5 run lacks the sha256
+    # column; fall back to the standalone content scan rather than fail
+    # the resume (the config_hash guard does not encode stage schemas)
+    mm_build = (
+        (lambda: X.member_map_from_sigs(sigs_all))
+        if "sha256" in sigs_all.columns
+        else (lambda: X.member_map(base))
     )
+    member_map = ck.run("member_map", mm_build, res)
     n_docs = res.lineage[-1][1]  # member_map rows == corpus rows
     reps_ids = member_map.where(F.col("doc_id") == F.col("rep_id")).select("doc_id")
     # representative filter: broadcast the id set while the corpus is under
