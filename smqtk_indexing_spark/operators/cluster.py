@@ -120,8 +120,8 @@ def connected_components(
     Hybrid execution (``driver_edge_cap``): ONE probe job fetches the
     distinct edge set via ``limit(cap+1)`` + Arrow; at or below the cap
     (default 2M edges ~= 32 MB of int64 — the same bounded-driver-collect
-    budget family as the IVF sample fit; measured ~0.95 s of numpy
-    union-find at the cap, see :func:`_union_find_labels`) the closure
+    budget family as the IVF sample fit; measured ~3.1 s of numpy
+    union-find at the cap worst-case, see :func:`_union_find_labels`) the closure
     runs as a vectorized driver-side union-find — the star loop's
     per-round job latency (~1 s x O(log n) rounds) is pure fixed cost on
     a graph this small, the dominant non-scaling term in the bench's

@@ -58,6 +58,8 @@ for p in paths:
                     "n_clusters": lvl["n_clusters"],
                     "n_files": lvl["n_files"],
                     "source": p,
+                    "from_sweep": True,
+                    "trial_idx": i,
                 }
                 # the best trial of the sweep carries the stage walls
                 if f == lvl["files_per_sec"]:
@@ -146,19 +148,37 @@ def matched_rounds(mode: str) -> list:
     for t in trials:
         if t["pair_mode"] == mode and "source" in t:
             by_src.setdefault(t["source"], []).append(t)
+    def emit(a, b, src):
+        out.append(
+            {
+                "eff": round(b["files_per_sec"] / a["files_per_sec"] / 4, 3),
+                "steal": (a.get("cpu_steal_pct"), b.get("cpu_steal_pct")),
+                "source": src,
+            }
+        )
+
     for src, ts in by_src.items():
-        lo = [t for t in ts if t["master"] == "local[2]"]
-        hi = [t for t in ts if t["master"] == "local[8]"]
-        # records preserve trial order per level, and trials are run
-        # round-robin — index i of each level is the same round/window
-        for a, b in zip(lo, hi):
-            out.append(
-                {
-                    "eff": round(b["files_per_sec"] / a["files_per_sec"] / 4, 3),
-                    "steal": (a.get("cpu_steal_pct"), b.get("cpu_steal_pct")),
-                    "source": src,
-                }
-            )
+        if any(t.get("from_sweep") for t in ts):
+            # sweep trials are complete rounds: index i of each level is
+            # the same round-robin pass / noise window
+            lo = {t["trial_idx"]: t for t in ts if t["master"] == "local[2]"}
+            hi = {t["trial_idx"]: t for t in ts if t["master"] == "local[8]"}
+            for i in sorted(set(lo) & set(hi)):
+                emit(lo[i], hi[i], src)
+            continue
+        # pair-trial files: a round is a local[2] record immediately
+        # followed by its local[8]; an interrupted round leaves an orphan
+        # local[2], which must be DROPPED (pairing it with a later-round
+        # local[8] would compare different noise windows — observed to
+        # fabricate a spurious 0.854 "best")
+        pending = None
+        for t in ts:
+            if t["master"] == "local[2]":
+                pending = t  # a second local[2] silently replaces an orphan
+            elif t["master"] == "local[8]":
+                if pending is not None:
+                    emit(pending, t, src)
+                pending = None
     return out
 
 
