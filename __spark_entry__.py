@@ -116,14 +116,16 @@ _DOCS_COUNT_MEMO: dict = {}
 def _docs_count(spark, sf_dir: str) -> int:
     """Memoized corpus row count (parquet metadata count — no data scan).
     Gates scale-only materializations like the ranked-hot-bucket persist;
-    testdata is immutable per the driver contract, so one count per
-    (context, sf_dir) is safe for the process lifetime."""
-    key = (id(spark.sparkContext), sf_dir)
-    n = _DOCS_COUNT_MEMO.get(key)
+    testdata is immutable per the driver contract, so the count is a pure
+    function of sf_dir alone — keyed by path only (ADVICE r5: an id()-based
+    key whose int value does not pin the context could alias a recycled
+    id() after context GC; the path key is context-independent by
+    construction)."""
+    n = _DOCS_COUNT_MEMO.get(sf_dir)
     if n is None:
         # raw read, not _docs(): the count folds to parquet row-group
         # metadata with no repartition in the plan
-        n = _DOCS_COUNT_MEMO[key] = spark.read.parquet(
+        n = _DOCS_COUNT_MEMO[sf_dir] = spark.read.parquet(
             f"{sf_dir}/documents.parquet"
         ).count()
     return n
@@ -166,12 +168,12 @@ def _lsh_pairs(spark, sf_dir, materialize: bool = True):
     # candidate branches re-deriving it once each (see
     # candidates.ranked_hot_buckets) — a measured win at corpus scale
     # (round 4: cand stage ~22 s -> ~9 s on 400k docs at local[8]) but a
-    # net LOSS at driver-query SF, where the persist's extra
-    # materialization jobs cost more than the tiny duplicated derivation
-    # (round-5 A/B at sf0.1, warm, 3 trials: lazy 3.45-3.56 s vs persisted
-    # 3.65-3.92 s per query). Gate on corpus size via one memoized
-    # metadata-count job per (context, sf_dir).
-    use_ranked = materialize and _docs_count(spark, sf_dir) >= 50_000
+    # net LOSS at driver-query SF — thresholds and A/B numbers live on
+    # cfg.ranked_persist_min_docs (config.py). Gate on corpus size via one
+    # memoized metadata-count job per sf_dir.
+    use_ranked = (
+        materialize and _docs_count(spark, sf_dir) >= CFG.ranked_persist_min_docs
+    )
     ranked = ranked_hot_buckets(buckets, CFG).persist() if use_ranked else None
     sh = None
     cand = candidate_pairs(buckets, CFG, ranked=ranked)
@@ -242,6 +244,70 @@ def q_dup_clusters(spark, sf_dir):
     ).select("doc_id", "cluster_id")
 
 
+def q_incremental_equivalence_cert(spark, sf_dir):
+    # VERDICT r5 item 3: driver-gate the incremental append path
+    # (plans/pipeline.py update_dedup — the 100 TB append topology:
+    # signatures only for the new batch, candidates only in touched
+    # buckets, prior verified pairs reused). Build on the even-id half,
+    # append the odd ids incrementally, and compare cluster assignments
+    # with a from-scratch run over the full corpus. Both paths label a
+    # component by its min doc_id (connected_components contract), so
+    # labels are CANONICAL and plain equality is relabeling-insensitive.
+    from smqtk_indexing_spark.plans.pipeline import run_dedup, update_dedup
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    first = base.where(F.col("doc_id") % 2 == 0)
+    new_ids = base.where(F.col("doc_id") % 2 == 1).select("doc_id")
+    prior = run_dedup(spark, first, CFG, text_col="text")
+    updated = update_dedup(spark, base, new_ids, prior, CFG, text_col="text")
+    scratch = run_dedup(spark, base, CFG, text_col="text")
+    inc = updated.tables["clusters"].withColumnRenamed("cluster_id", "c_inc")
+    full = scratch.tables["clusters"].withColumnRenamed("cluster_id", "c_full")
+    n_docs = full.count()
+    n_mismatch = (
+        full.join(inc, "doc_id")
+        .where(F.col("c_full") != F.col("c_inc"))
+        .count()
+    )
+    n_coverage_diff = (
+        full.join(inc, "doc_id", "left_anti").count()
+        + inc.join(full, "doc_id", "left_anti").count()
+    )
+    return spark.createDataFrame(
+        [(n_docs, n_mismatch, n_coverage_diff)],
+        "n_docs long, n_label_mismatch long, n_coverage_diff long",
+    )
+
+
+def q_star_cluster_cert(spark, sf_dir):
+    # VERDICT r5 item 4: driver-gate the pair_mode='star' clustering
+    # topology — the declared 10^12-file configuration (candidates.py:
+    # member->bucket-minimum edges, linear in corpus size, vs 'all''s
+    # quadratic per-bucket enumeration). Star is a connectivity SKELETON:
+    # it must close over the same components, so cluster assignments
+    # (canonical min-doc_id labels) must be identical to the all-mode run.
+    from dataclasses import replace
+
+    from smqtk_indexing_spark.plans.pipeline import run_dedup
+
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    star = run_dedup(
+        spark, base, replace(CFG, pair_mode="star"), text_col="text"
+    ).tables["clusters"].withColumnRenamed("cluster_id", "c_star")
+    full = run_dedup(
+        spark, base, replace(CFG, pair_mode="all"), text_col="text"
+    ).tables["clusters"].withColumnRenamed("cluster_id", "c_all")
+    n_docs = full.count()
+    n_mismatch = (
+        full.join(star, "doc_id")
+        .where(F.col("c_all") != F.col("c_star"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(n_docs, n_mismatch)], "n_docs long, n_label_mismatch long"
+    )
+
+
 def q_substring_containment(spark, sf_dir):
     # CDC-anchored substring pass + exact verify
     return substring_pairs(
@@ -260,12 +326,29 @@ def q_substring_rarest_cert(spark, sf_dir):
     # candidate. Both modes run in Spark (chunk hashes are engine-side
     # rolling-hash state); the oracle asserts the invariant's only legal
     # value — an empty symmetric difference.
+    # Domain (ADVICE r5): the rarest path has ONE documented recall
+    # boundary — containees whose rarest interior chunk has df > df_cap
+    # (pathologically repetitive content) are dropped. The certificate
+    # asserts exactness on the COVERED domain: the all_interior side
+    # excludes boundary containees (rarest_dropped_containees), so the
+    # gate is corpus-independent rather than assuming testdata stays
+    # below the boundary. The extra-pair check stays against the FULL
+    # set: 'rarest' may never emit a pair all_interior would not.
+    from smqtk_indexing_spark.operators.substrings import (
+        cdc_chunks,
+        rarest_dropped_containees,
+    )
+
     docs = _docs(spark, sf_dir)
     rare = substring_pairs(docs, CFG, mode="rarest").select("inner", "outer")
     full = substring_pairs(docs, CFG, mode="all_interior").select(
         "inner", "outer"
     )
-    missing = full.join(rare, ["inner", "outer"], "left_anti").count()
+    dropped = rarest_dropped_containees(
+        cdc_chunks(docs, CFG, "doc_id", "text"), CFG
+    ).withColumnRenamed("doc_id", "inner")
+    covered = full.join(dropped, "inner", "left_anti")
+    missing = covered.join(rare, ["inner", "outer"], "left_anti").count()
     extra = rare.join(full, ["inner", "outer"], "left_anti").count()
     return spark.createDataFrame(
         [(missing, extra)], "n_missing long, n_extra long"
@@ -547,6 +630,23 @@ def q_ann_ivf_cert(spark, sf_dir):
     return _ann_certificate(
         spark,
         ann.ivf_topk(emb, k=TOPK, seed=CFG.seed),
+        emb,
+        M.cosine_similarity,
+        False,
+    )
+
+
+def q_ann_ivf_dist_cert(spark, sf_dir):
+    # VERDICT r5 item 5: the DISTRIBUTED Lloyd fit (fit="distributed" —
+    # mapInPandas partial sums reduced Spark-side, the driver only ever
+    # holds the k x d centroid matrix; ann.py _kmeans_fit_distributed) is
+    # the no-driver-sample 100 TB path. Same certificate as the sampled
+    # fit: k rows per query, every reported score equal to the exact
+    # cosine recomputed from raw embeddings, monotone ranks.
+    emb = _emb(spark, sf_dir)
+    return _ann_certificate(
+        spark,
+        ann.ivf_topk(emb, k=TOPK, seed=CFG.seed, fit="distributed"),
         emb,
         M.cosine_similarity,
         False,
@@ -950,6 +1050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_pairs_bruteforce": q_near_dup_pairs_bruteforce,
         "near_dup_pairs_lsh": q_near_dup_pairs_lsh,
         "dup_clusters": q_dup_clusters,
+        "incremental_equivalence_cert": q_incremental_equivalence_cert,
+        "star_cluster_cert": q_star_cluster_cert,
         "substring_containment": q_substring_containment,
         "substring_rarest_cert": q_substring_rarest_cert,
         "index_counts": q_index_counts,
@@ -970,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_mrpt_topk": q_ann_mrpt_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_cert": q_ann_ivf_cert,
+        "ann_ivf_dist_cert": q_ann_ivf_dist_cert,
         "ann_rp_lsh_cert": q_ann_rp_lsh_cert,
         "ann_mrpt_cert": q_ann_mrpt_cert,
         "rp_hamming_cert": q_rp_hamming_cert,
@@ -1125,6 +1228,25 @@ def oracle_sql() -> dict[str, str]:
         "substring_rarest_cert": """
             SELECT CAST(0 AS BIGINT) AS n_missing, CAST(0 AS BIGINT) AS n_extra
         """,
+        # incremental-update equivalence: the append path must land every
+        # doc in the same (canonically min-id-labeled) cluster as a full
+        # rebuild — the only legal values are zero mismatches over the
+        # whole corpus. Signatures/pairs are hash-state the oracle cannot
+        # recompute; the invariant counts are corpus-independent.
+        "incremental_equivalence_cert": """
+            SELECT count(*)::BIGINT AS n_docs,
+                   CAST(0 AS BIGINT) AS n_label_mismatch,
+                   CAST(0 AS BIGINT) AS n_coverage_diff
+            FROM documents
+        """,
+        # star-topology equivalence: the linear member->bucket-min
+        # candidate skeleton must close over the same connected
+        # components as the full quadratic pair enumeration.
+        "star_cluster_cert": """
+            SELECT count(*)::BIGINT AS n_docs,
+                   CAST(0 AS BIGINT) AS n_label_mismatch
+            FROM documents
+        """,
         "index_counts": f"""
             SELECT 'n_docs' AS metric, count(*)::BIGINT AS value FROM documents
             UNION ALL
@@ -1268,6 +1390,12 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
         """,
         "ann_ivf_cert": f"""
+            SELECT (count(*) * {TOPK})::BIGINT AS n_rows,
+                   CAST(0 AS BIGINT) AS n_score_mismatch,
+                   CAST(0 AS BIGINT) AS n_rank_violations
+            FROM embeddings
+        """,
+        "ann_ivf_dist_cert": f"""
             SELECT (count(*) * {TOPK})::BIGINT AS n_rows,
                    CAST(0 AS BIGINT) AS n_score_mismatch,
                    CAST(0 AS BIGINT) AS n_rank_violations

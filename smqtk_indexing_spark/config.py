@@ -62,6 +62,14 @@ class DedupConfig:
     # serialized / a low-hundreds-MB hash relation per executor. Above it:
     # shuffle-hash join (never sort-merge — SMJ would sort the content).
     broadcast_id_cap: int = 4_000_000
+    # Materialize the shared ranked-hot-bucket table (candidates.
+    # ranked_hot_buckets) only at/above this corpus row count. Below it the
+    # persist's extra materialization jobs cost more than the duplicated
+    # lazy derivation they avoid (round-5 A/B at sf0.1=5k docs, warm, 3
+    # trials: lazy 3.45-3.56 s vs persisted 3.65-3.92 s per query); above
+    # it the persist halves the cand stage (round-4 at 400k docs, local[8]:
+    # ~22 s -> ~9 s). Shared by the driver entry and the pipeline twin.
+    ranked_persist_min_docs: int = 50_000
     # --- substring / CDC ---
     cdc_window: int = 8           # rolling-hash window (chars)
     cdc_mask_bits: int = 4        # boundary when low bits == 0 -> avg chunk 2^bits

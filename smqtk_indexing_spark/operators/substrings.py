@@ -122,6 +122,28 @@ def containment_candidates_rarest(
     )
 
 
+def rarest_dropped_containees(
+    chunks: DataFrame, cfg: DedupConfig, df_cap: int = 10_000
+) -> DataFrame:
+    """Containee doc_ids the rarest-chunk path DROPS: eligible containees
+    (interior chunk present, above the length floor) whose rarest interior
+    chunk still has document frequency > ``df_cap`` — the documented recall
+    boundary of :func:`containment_candidates_rarest`, exposed so the
+    driver certificate can assert exactness on the covered domain instead
+    of assuming the corpus stays below the boundary (ADVICE r5)."""
+    df_tbl = chunks.groupBy("chunk_hash").agg(F.count("*").alias("df"))
+    return (
+        chunks.where(
+            F.col("is_interior") & (F.col("n_chars") >= cfg.min_containee_chars)
+        )
+        .join(df_tbl, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(F.min("df").alias("min_df"))
+        .where(F.col("min_df") > df_cap)
+        .select("doc_id")
+    )
+
+
 def containment_candidates(
     chunks: DataFrame,
     cfg: DedupConfig,

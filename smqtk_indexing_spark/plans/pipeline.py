@@ -209,12 +209,15 @@ def run_dedup(
     sigs = sigs_all.join(reps_ids, "doc_id", "left_semi")
 
     buckets = band_buckets(sigs, cfg)
-    if cfg.pair_mode == "all":
+    if cfg.pair_mode == "all" and n_docs >= cfg.ranked_persist_min_docs:
         # materialize the shared ranked-hot-bucket table as its own stage:
         # every all-mode candidate branch (x/y self-join sides, giant
         # striping) reads it, and unmaterialized each branch re-derives
         # the explode + size join + rank window (round-4: this halved the
-        # cand_pairs stage wall at local[8])
+        # cand_pairs stage wall at local[8]). Size-gated on the SAME
+        # config constant as the driver entry (cfg.ranked_persist_min_docs
+        # — below it the extra stage materialization costs more than the
+        # duplicated lazy derivation; A/B numbers in config.py).
         ranked = ck.run(
             "hot_buckets", lambda: ranked_hot_buckets(buckets, cfg), res
         )
@@ -348,6 +351,17 @@ def update_dedup(
     # ids already indexed are skipped (duplicate-insert warn+skip contract,
     # reference impls/nn_index/faiss.py:590-598)
     old_sigs = prior.tables["signatures"]
+    # pre-r5 checkpoint compatibility (mirrors run_dedup's fallback, ADVICE
+    # r5): a signatures table resumed from a checkpoint predating the sha256
+    # column would make the unionByName below fail — and allowMissingColumns
+    # would silently feed null shas into member_map_from_sigs. Backfill the
+    # prior corpus' shas with ONE content pass instead (the same cost
+    # run_dedup's member_map fallback pays on such checkpoints).
+    if "sha256" not in old_sigs.columns:
+        old_shas = X.with_sha256(
+            base.join(old_sigs.select("doc_id"), "doc_id", "left_semi")
+        ).select("doc_id", "sha256")
+        old_sigs = old_sigs.join(old_shas, "doc_id")
     new_docs = new_docs.join(old_sigs.select("doc_id"), "doc_id", "left_anti")
     new_sigs = compute_signatures(
         new_docs, cfg, include=("simhash", "bands", "sha256")

@@ -53,15 +53,20 @@ def get_spark(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
         )
-        # 64m broadcast threshold (Spark's 10m default assumes ~1 GB
-        # executors): the hot-bucket size table (~1M rows / 17 MB on the
-        # 800k bench corpus) then broadcasts instead of re-exchanging the
-        # 24M-row bucket-membership table a second time (measured at
-        # local[2], quiet window: cand stage 27 s -> 21.5 s). AQE decides
-        # from RUNTIME sizes, so at corpus scale oversized builds still
-        # fall back to shuffle joins automatically.
+        # 64m broadcast threshold for AQE re-planning ONLY (Spark's 10m
+        # default assumes ~1 GB executors): the hot-bucket size table
+        # (~1M rows / 17 MB on the 800k bench corpus) then broadcasts
+        # instead of re-exchanging the 24M-row bucket-membership table a
+        # second time (measured at local[2], quiet window: cand stage
+        # 27 s -> 21.5 s). Scoped to spark.sql.adaptive.* (ADVICE r5): the
+        # STATIC threshold keeps Spark's default, because static planning
+        # sizes relations from compressed on-disk estimates — a ~64 MB
+        # parquet estimate can decompress to several hundred MB per
+        # executor plus driver collect memory. AQE decides from exact
+        # RUNTIME shuffle sizes, so only genuinely-small builds broadcast
+        # and oversized ones fall back to shuffle joins automatically.
         .config(
-            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
             os.environ.get("SPARK_GRAFT_BCAST_THRESHOLD", "64m"),
         )
     )

@@ -43,6 +43,31 @@ def test_incremental_update_equals_full_rebuild(spark):
     assert full_pairs <= inc_pairs
 
 
+def test_incremental_update_from_sha_less_prior(spark):
+    """Resume compatibility (ADVICE r5): a prior whose signatures
+    checkpoint predates the sha256 column must be backfilled (one content
+    pass over the prior corpus), not crash the unionByName or feed null
+    shas into the exact-dup map."""
+    files, _ = synth_files(n=400, seed=31)
+    full_df = spark.createDataFrame(files)
+    first = spark.createDataFrame(files.iloc[:280])
+    new_ids = spark.createDataFrame(
+        [(int(i),) for i in files.iloc[280:]["doc_id"]], "doc_id long"
+    )
+    prior = run_dedup(spark, first, CFG)
+    # simulate the pre-r5 checkpoint schema
+    prior.tables["signatures"] = prior.tables["signatures"].drop("sha256")
+
+    updated = update_dedup(spark, full_df, new_ids, prior, CFG)
+    scratch = run_dedup(spark, full_df, CFG)
+    inc = {(r.doc_id, r.cluster_id) for r in updated.tables["clusters"].collect()}
+    full = {(r.doc_id, r.cluster_id) for r in scratch.tables["clusters"].collect()}
+    assert inc == full
+    sigs = updated.tables["signatures"]
+    assert "sha256" in sigs.columns
+    assert sigs.where(F.col("sha256").isNull()).count() == 0
+
+
 def test_incremental_update_signature_counts(spark):
     files, _ = synth_files(n=300, seed=29)
     full_df = spark.createDataFrame(files)

@@ -101,10 +101,16 @@ def test_dup_pair_recall_and_clusters(spark, corpus, tmp_path_factory):
 
 
 def test_checkpoint_resume_and_lineage(spark, corpus, tmp_path):
+    from dataclasses import replace
+
     files, _ = corpus
     df = spark.createDataFrame(files.head(200))
     out = str(tmp_path / "ckpt")
-    r1 = run_dedup(spark, df, CFG, out_dir=out)
+    # pin the ranked-hot-bucket gate OPEN so the hot_buckets stage and its
+    # resume path stay covered at test scale (production gates it on
+    # cfg.ranked_persist_min_docs — see the gated-off check below)
+    cfg = replace(CFG, ranked_persist_min_docs=0)
+    r1 = run_dedup(spark, df, cfg, out_dir=out)
     assert all(not row[5] for row in r1.lineage)  # nothing resumed
     assert os.path.exists(os.path.join(out, "clusters", "_SUCCESS"))
     stages = [row[0] for row in r1.lineage]
@@ -113,7 +119,7 @@ def test_checkpoint_resume_and_lineage(spark, corpus, tmp_path):
         "dup_pairs", "clusters",
     ]
 
-    r2 = run_dedup(spark, df, CFG, out_dir=out)
+    r2 = run_dedup(spark, df, cfg, out_dir=out)
     assert all(row[5] for row in r2.lineage)  # everything resumed
     c1 = {(r.doc_id, r.cluster_id) for r in r1.tables["clusters"].collect()}
     c2 = {(r.doc_id, r.cluster_id) for r in r2.tables["clusters"].collect()}
@@ -122,6 +128,13 @@ def test_checkpoint_resume_and_lineage(spark, corpus, tmp_path):
     # config change refuses to reuse the checkpoint dir
     with pytest.raises(ValueError):
         run_dedup(spark, df, DedupConfig(seed=999), out_dir=out)
+
+    # below the gate (default config: 200 docs < ranked_persist_min_docs)
+    # the hot_buckets stage is skipped and clusters are unchanged
+    r3 = run_dedup(spark, df, CFG)
+    assert "hot_buckets" not in [row[0] for row in r3.lineage]
+    c3 = {(r.doc_id, r.cluster_id) for r in r3.tables["clusters"].collect()}
+    assert c3 == c1
 
 
 def test_lineage_df_schema(spark, corpus):
@@ -132,7 +145,8 @@ def test_lineage_df_schema(spark, corpus):
     assert set(ldf.columns) == {
         "stage", "rows_out", "n_partitions", "wall_ms", "config_hash", "resumed"
     }
-    assert ldf.count() == 6
+    # 5 stages: hot_buckets is size-gated off below ranked_persist_min_docs
+    assert ldf.count() == 5
 
 
 def test_prefilter_preserves_pairs(spark, corpus):
