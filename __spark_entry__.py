@@ -309,9 +309,15 @@ def q_star_cluster_cert(spark, sf_dir):
 
 
 def q_substring_containment(spark, sf_dir):
-    # CDC-anchored substring pass + exact verify
+    # CDC-anchored substring pass + exact verify. n_docs from the memoized
+    # parquet-metadata count fuses the short-leg gate into the chunk
+    # materialization agg (one fewer job; substrings.substring_pairs).
     return substring_pairs(
-        _docs(spark, sf_dir), CFG, id_col="doc_id", text_col="text"
+        _docs(spark, sf_dir),
+        CFG,
+        id_col="doc_id",
+        text_col="text",
+        n_docs=_docs_count(spark, sf_dir),
     ).select("inner", "outer")
 
 
@@ -340,10 +346,13 @@ def q_substring_rarest_cert(spark, sf_dir):
     )
 
     docs = _docs(spark, sf_dir)
-    rare = substring_pairs(docs, CFG, mode="rarest").select("inner", "outer")
-    full = substring_pairs(docs, CFG, mode="all_interior").select(
+    n_docs = _docs_count(spark, sf_dir)
+    rare = substring_pairs(docs, CFG, mode="rarest", n_docs=n_docs).select(
         "inner", "outer"
     )
+    full = substring_pairs(
+        docs, CFG, mode="all_interior", n_docs=n_docs
+    ).select("inner", "outer")
     dropped = rarest_dropped_containees(
         cdc_chunks(docs, CFG, "doc_id", "text"), CFG
     ).withColumnRenamed("doc_id", "inner")

@@ -231,13 +231,16 @@ def short_containee_pairs(
     cfg: DedupConfig,
     id_col: str = "doc_id",
     text_col: str = "text",
+    n_short: int | None = None,
 ) -> DataFrame:
     """Exact containment pairs for containees the coarse CDC anchor join
     cannot see: documents with no interior chunk (< 3 chunks) or shorter
     than ``cfg.min_containee_chars``.
 
     The NLJ side is BOUNDED (round-2 VERDICT item 3): the short set is
-    counted first. Up to ``cfg.short_nlj_cap`` docs it is broadcast and
+    counted first (callers that already know the count — e.g. the fused
+    chunk-materialization agg in :func:`substring_pairs` — pass
+    ``n_short`` to skip the extra job). Up to ``cfg.short_nlj_cap`` docs it is broadcast and
     matched with a JVM-side ``contains`` against every longer document —
     correct when shorts are the vanishing fraction (source-code corpora).
     On short-text-heavy corpora (chat turns, titles) the count trips the
@@ -254,7 +257,8 @@ def short_containee_pairs(
         F.col(id_col).cast("long").alias("did"), F.col(text_col).alias("t")
     )
     short = _short_side(chunks, df, cfg, id_col, text_col)
-    n_short = short.count()
+    if n_short is None:
+        n_short = short.count()
     if n_short <= cfg.short_nlj_cap:
         return _nlj_contains(short, t)
     # escalation: fine-grain CDC over the whole corpus; containee side
@@ -316,6 +320,7 @@ def substring_pairs(
     df_cap: int = 10_000,
     short_path: bool = True,
     materialize: bool = True,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """CDC candidates + exact verify -> (inner, outer) containment pairs.
 
@@ -332,7 +337,15 @@ def substring_pairs(
     item 8: no cached intermediates survive a ``queries()`` run);
     ``materialize=False`` keeps the plan fully lazy (no persist /
     checkpoint / short-side count — the NLJ leg is assumed for the short
-    containees) for plan capture via tools/explain_plans.py."""
+    containees) for plan capture via tools/explain_plans.py.
+
+    ``n_docs`` (corpus row count, if the caller already knows it — parquet
+    metadata count or a pipeline lineage row) removes the short-leg gate's
+    standalone count job: the short count is then derived as
+    ``n_docs - countDistinct(detectable containees)`` from ONE agg that
+    doubles as the chunk-cache materialization action (round-5 VERDICT
+    item 2 — the separate docs-scan anti-join count was ~0.5 s of pure
+    fixed cost per query at sf0.1)."""
     chunks = cdc_chunks(df, cfg, id_col, text_col)
 
     def _cand(ch):
@@ -357,9 +370,26 @@ def substring_pairs(
     # anti-join; persist so the CDC mapInPandas pass runs once
     chunks = chunks.persist()
     try:
+        n_short = None
+        if n_docs is not None:
+            # fused gate: ONE agg both materializes the chunk cache and
+            # yields the detectable-containee count; the short side is its
+            # complement (every doc is either CDC-anchorable or short)
+            n_det = chunks.agg(
+                F.countDistinct(
+                    F.when(
+                        F.col("is_interior")
+                        & (F.col("n_chars") >= cfg.min_containee_chars),
+                        F.col("doc_id"),
+                    )
+                )
+            ).first()[0]
+            n_short = n_docs - int(n_det or 0)
         pairs = verify_containment(_cand(chunks), df, id_col, text_col)
         pairs = pairs.unionByName(
-            short_containee_pairs(chunks, df, cfg, id_col, text_col)
+            short_containee_pairs(
+                chunks, df, cfg, id_col, text_col, n_short=n_short
+            )
         )
         return pairs.localCheckpoint(eager=True)
     finally:
