@@ -109,6 +109,12 @@ def q_near_dup_pairs_bruteforce(spark, sf_dir):
 # exactly the assumption Checkpointer resume makes for its parquet stages.
 _PAIR_MEMO: dict = {}
 
+# (lazy verified-pair plan, [persisted chunk caches]) per (ctx, sf_dir,
+# config) — the substring twin of _PAIR_MEMO: the one-shot query path skips
+# the eager checkpoint (substring_pairs cleanup_out) and parks the chunk
+# cache here so repeat calls reuse it; evicted with _PAIR_MEMO.
+_SUBSTR_MEMO: dict = {}
+
 
 _DOCS_COUNT_MEMO: dict = {}
 
@@ -144,6 +150,13 @@ def _memo_evict_stopped() -> None:
     ]
     for k in dead:
         del _PAIR_MEMO[k]
+    dead = [
+        k
+        for k, (df, _caches) in _SUBSTR_MEMO.items()
+        if getattr(df.sparkSession.sparkContext, "_jsc", None) is None
+    ]
+    for k in dead:
+        del _SUBSTR_MEMO[k]
 
 
 def _lsh_pairs(spark, sf_dir, materialize: bool = True):
@@ -312,13 +325,27 @@ def q_substring_containment(spark, sf_dir):
     # CDC-anchored substring pass + exact verify. n_docs from the memoized
     # parquet-metadata count fuses the short-leg gate into the chunk
     # materialization agg (one fewer job; substrings.substring_pairs).
-    return substring_pairs(
+    # One-shot consumers run exactly one action, so the trailing eager
+    # localCheckpoint is skipped (cleanup_out — round-5 VERDICT item 2):
+    # the verified-pair plan is returned lazy and the persisted chunk
+    # cache is memoized beside _PAIR_MEMO (bounded: one per sf_dir/config;
+    # repeat calls reuse both the plan and the warm cache).
+    _memo_evict_stopped()
+    key = (id(spark.sparkContext), sf_dir, CFG.config_hash)
+    hit = _SUBSTR_MEMO.get(key)
+    if hit is not None:
+        return hit[0]
+    caches: list = []
+    out = substring_pairs(
         _docs(spark, sf_dir),
         CFG,
         id_col="doc_id",
         text_col="text",
         n_docs=_docs_count(spark, sf_dir),
+        cleanup_out=caches,
     ).select("inner", "outer")
+    _SUBSTR_MEMO[key] = (out, caches)
+    return out
 
 
 def q_substring_rarest_cert(spark, sf_dir):

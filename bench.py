@@ -174,8 +174,14 @@ def dedup_files_per_sec(
         run_dedup(spark, spark.createDataFrame(warm).repartition(cpus), cfg)
         t0 = time.time()
         res = run_dedup(spark, df, cfg)
-        n_clusters = res.tables["clusters"].select("cluster_id").distinct().count()
         wall = time.time() - t0
+        # determinism check (cluster-count parity across levels/topologies)
+        # runs OUTSIDE the timed window: run_dedup has already materialized
+        # and counted every stage table (Checkpointer lineage), so this
+        # distinct-count is a post-job validation query, not dedup work —
+        # inside the window it was ~0.5-1 s of flat cost at BOTH levels,
+        # biasing the N -> 4N efficiency down.
+        n_clusters = res.tables["clusters"].select("cluster_id").distinct().count()
         return {
             "master": master,
             "n_files": n_files,

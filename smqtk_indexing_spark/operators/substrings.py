@@ -321,6 +321,7 @@ def substring_pairs(
     short_path: bool = True,
     materialize: bool = True,
     n_docs: int | None = None,
+    cleanup_out: list | None = None,
 ) -> DataFrame:
     """CDC candidates + exact verify -> (inner, outer) containment pairs.
 
@@ -345,7 +346,16 @@ def substring_pairs(
     ``n_docs - countDistinct(detectable containees)`` from ONE agg that
     doubles as the chunk-cache materialization action (round-5 VERDICT
     item 2 — the separate docs-scan anti-join count was ~0.5 s of pure
-    fixed cost per query at sf0.1)."""
+    fixed cost per query at sf0.1).
+
+    ``cleanup_out`` (round-5 VERDICT item 2, second half): when the caller
+    passes a list, the trailing eager ``localCheckpoint`` is SKIPPED — the
+    verified-pair plan is returned lazy (one-shot consumers like the
+    driver's ``queries()`` entries run exactly one action over it, so the
+    checkpoint's extra materialize-then-rescan jobs are pure fixed cost) —
+    and the persisted chunk cache is APPENDED to the list instead of
+    released here; the caller must unpersist it after its action (the
+    driver entry registers it for eviction beside ``_PAIR_MEMO``)."""
     chunks = cdc_chunks(df, cfg, id_col, text_col)
 
     def _cand(ch):
@@ -369,6 +379,7 @@ def substring_pairs(
     # chunks feeds BOTH the candidate branch and the short-containee
     # anti-join; persist so the CDC mapInPandas pass runs once
     chunks = chunks.persist()
+    deferred = False
     try:
         n_short = None
         if n_docs is not None:
@@ -391,9 +402,14 @@ def substring_pairs(
                 chunks, df, cfg, id_col, text_col, n_short=n_short
             )
         )
+        if cleanup_out is not None:
+            deferred = True
+            cleanup_out.append(chunks)
+            return pairs
         return pairs.localCheckpoint(eager=True)
     finally:
-        chunks.unpersist()
+        if not deferred:
+            chunks.unpersist()
 
 
 def substring_pairs_within_partitions(

@@ -115,9 +115,22 @@ class Checkpointer:
         p = self._path(stage)
         return bool(p) and os.path.exists(os.path.join(p, "_SUCCESS"))
 
-    def run(self, stage: str, build, result: PipelineResult) -> DataFrame:
+    def run(
+        self, stage: str, build, result: PipelineResult, cleanup=None
+    ) -> DataFrame:
         """Materialize a stage: resume from parquet if complete, else build,
-        write, and record lineage."""
+        write, and record lineage.
+
+        The in-memory path uses a LAZY localCheckpoint whose first action is
+        the lineage ``count`` — ONE job materializes and counts the stage
+        (the previous eager-checkpoint-then-count shape paid two jobs per
+        stage, ~0.2-0.4 s of pure fixed latency each at any corpus size —
+        flat cost that never amortizes with cores and so drags the N -> 4N
+        scaling efficiency directly). ``cleanup`` (optional) runs after the
+        stage is materialized — builders use it to unpersist caches their
+        lazy plan depended on, instead of eagerly checkpointing inside the
+        builder (which would re-materialize the same rows a second time
+        here)."""
         t0 = time.time()
         resumed = self._complete(stage)
         if resumed:
@@ -128,11 +141,13 @@ class Checkpointer:
                 df.write.mode("overwrite").parquet(self._path(stage))
                 df = self.spark.read.parquet(self._path(stage))
             else:
-                df = df.localCheckpoint(eager=True)
+                df = df.localCheckpoint(eager=False)
         result.lineage.append(
             (stage, df.count(), df.rdd.getNumPartitions(),
              int((time.time() - t0) * 1000), self.cfg.config_hash, resumed)
         )
+        if cleanup is not None and not resumed:
+            cleanup()
         # profile on BOTH paths: a resumed run must not come back with an
         # empty per-partition table (dedup_job overwrites its output)
         if self.partition_lineage:
@@ -282,24 +297,32 @@ def run_dedup(
         # 9.0 s -> 1.8 s with the pass cached)
         shingle_df = compute_shingle_arrays(cand_docs, cfg).persist()
         shingle_df.count()
-        pairs_out = verify_pairs(cand, shingle_df, cfg)
-        # the small tau-filtered result is checkpointed (it must outlive
-        # the caches released on the next lines)
-        pairs_out = pairs_out.localCheckpoint(eager=True)
-        cand_docs.unpersist()
-        shingle_df.unpersist()
-        return pairs_out
+        caches.extend((cand_docs, shingle_df))
+        # returned LAZY: ck.run's checkpoint+count materializes the small
+        # tau-filtered result in one job, then the cleanup below releases
+        # the caches it depended on (an eager checkpoint here would
+        # re-materialize the same rows a second time inside ck.run)
+        return verify_pairs(cand, shingle_df, cfg)
 
-    pairs = ck.run("dup_pairs", build_dup_pairs, res)
+    caches: list = []
+    pairs = ck.run(
+        "dup_pairs",
+        build_dup_pairs,
+        res,
+        cleanup=lambda: [c.unpersist() for c in caches],
+    )
 
     if include_substrings:
         reps = base.join(reps_ids, "doc_id", "left_semi")
+        sub_caches: list = []
         ck.run(
             "substr_pairs",
             lambda: substring_pairs(
-                reps, cfg, id_col="doc_id", text_col="text", mode="rarest"
+                reps, cfg, id_col="doc_id", text_col="text", mode="rarest",
+                cleanup_out=sub_caches,
             ),
             res,
+            cleanup=lambda: [c.unpersist() for c in sub_caches],
         )
 
     def build_clusters() -> DataFrame:

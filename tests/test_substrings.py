@@ -143,3 +143,19 @@ def test_suffix_array_pass_partitioned_subset(spark, corpus):
         for r in substring_pairs_within_partitions(df, CFG, num_partitions=6).collect()
     }
     assert got <= brute
+
+
+def test_cleanup_out_lazy_path_exact(spark, corpus):
+    # cleanup_out: the one-shot lazy path (no trailing eager checkpoint)
+    # must produce the identical exact pair set, hand back the persisted
+    # chunk cache for the caller to release, and stay correct after the
+    # caller unpersists it (plan recomputes, just uncached).
+    df, brute = corpus
+    caches = []
+    out = substring_pairs(df, CFG, cleanup_out=caches)
+    got = {(r.inner, r.outer) for r in out.collect()}
+    assert got == brute
+    assert len(caches) == 1 and caches[0].is_cached
+    for c in caches:
+        c.unpersist()
+    assert {(r.inner, r.outer) for r in out.collect()} == brute
