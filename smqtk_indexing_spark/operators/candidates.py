@@ -112,13 +112,23 @@ def candidate_pairs(
         # ENTIRE 32x-exploded bucket table inside one wide exchange,
         # while the agg's combiner ships near-unique (band_hash, min,
         # count) rows and the join-back filtered to >1-member buckets
-        # probes only the ~10% surviving keys. While that survivor list
-        # fits the broadcast threshold AQE makes the join-back a
-        # broadcast probe (the bucket table is then never exchanged a
-        # second time — one wide op total, no sort); at corpus scale it
-        # degrades to a shuffle join (two exchanges vs the window's
-        # one-exchange-plus-full-sort — comparable bytes, no sort).
-        # Then a distinct over the linear sum(m-1) star edges.
+        # probes only the ~10% surviving keys.
+        #
+        # The join-back is FORCED to a shuffle-hash join (build side = the
+        # small survivor list). Round-6 isolated A/B on the 800k-corpus
+        # bucket table (tools/cand_stage_ab.py, 3 interleaved rounds,
+        # stage-level floor probes, BENCH/cand_ab_20260817_200213.json):
+        # the AQE broadcast probe builds its ~1M-row hash relation
+        # SERIALLY on the driver — a constant that does not shrink with
+        # cores — and lost to SHJ in-window at BOTH levels in every round
+        # (best-of local[2] 31.0 vs 23.6 s, local[8] 11.6 vs 8.1 s);
+        # 2->8 scaling: SHJ 0.73 raw / 0.96 floor-corrected vs AQE
+        # 0.67 / 0.80. A window-min form (one exchange + full sort, no
+        # join) is fastest at 2 cores (15.5 s) but the sort doesn't
+        # parallelize (0.66 floor-corrected) and buffers giant buckets —
+        # wrong at 10^12 files. SHJ is also the no-driver-state form:
+        # both sides hash-partition on band_hash, nothing is serialized
+        # on one node. Then a distinct over the linear sum(m-1) edges.
         agg = (
             buckets.groupBy("band_hash")
             .agg(F.min("doc_id").alias("m"), F.count("*").alias("n"))
@@ -126,7 +136,7 @@ def candidate_pairs(
             .select("band_hash", "m")
         )
         return (
-            buckets.join(agg, "band_hash")
+            buckets.join(agg.hint("shuffle_hash"), "band_hash")
             .where(F.col("doc_id") != F.col("m"))
             .select(F.col("m").alias("a"), F.col("doc_id").alias("b"))
             .distinct()

@@ -12,9 +12,20 @@ Variants:
               band_hash — two scalable exchanges, no serial driver build.
 - window    : one exchange + per-partition sort — min/count window over
               band_hash, no join at all.
+- window_min: window form without the count column (the doc_id != min
+              filter already removes singleton buckets' only row).
+- floor     : the agg_aqe plan over a ~2k-doc bucket table where every
+              data-dependent term is ~0 — measures the stage-level FIXED
+              cost (scan setup, exchange scheduling, AQE re-planning,
+              distinct, count job) at each parallelism level, mirroring
+              the job-level BENCH/fixed_floor.json protocol. The summary
+              uses it to print floor-corrected efficiencies.
 
 Usage: python tools/cand_stage_ab.py [rounds] [buckets_parquet]
 Child:  python tools/cand_stage_ab.py --one <master> <variant> <path>
+Gen:    python tools/cand_stage_ab.py --gen <corpus_parquet> <out_parquet>
+        (corpus -> signatures -> exact-dup collapse -> band buckets,
+        the same upstream the pipeline feeds candidate_pairs)
 """
 
 from __future__ import annotations
@@ -28,6 +39,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_PATH = "/dev/shm/bench-buckets-800k.parquet"
+FLOOR_PATH = "/dev/shm/bench-buckets-2k.parquet"
 
 
 def _steal():
@@ -48,7 +60,7 @@ def child(master: str, variant: str, path: str) -> None:
     small = b.limit(200_000)
     small.groupBy("band_hash").agg(F.min("doc_id").alias("m")).count()
     t0 = time.time()
-    if variant in ("agg_aqe", "agg_shj"):
+    if variant in ("agg_aqe", "agg_shj", "floor"):
         agg = (
             b.groupBy("band_hash")
             .agg(F.min("doc_id").alias("m"), F.count("*").alias("n"))
@@ -124,10 +136,39 @@ def child(master: str, variant: str, path: str) -> None:
     spark.stop()
 
 
+def gen(corpus: str, out: str) -> None:
+    """Materialize the bucket table the pipeline feeds candidate_pairs:
+    corpus -> one-scan signatures -> exact-dup collapse -> band explode."""
+    from pyspark.sql import functions as F
+
+    from smqtk_indexing_spark.config import DedupConfig
+    from smqtk_indexing_spark.operators import dedup as X
+    from smqtk_indexing_spark.operators.candidates import band_buckets
+    from smqtk_indexing_spark.operators.signatures import compute_signatures
+    from smqtk_indexing_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=16)
+    cfg = DedupConfig(shuffle_partitions=16)
+    docs = spark.read.parquet(corpus)
+    sigs = compute_signatures(
+        docs, cfg, text_col="content", include=("bands", "sha256")
+    ).localCheckpoint()
+    mm = X.member_map_from_sigs(sigs)
+    reps = mm.where(F.col("doc_id") == F.col("rep_id")).select("doc_id")
+    b = band_buckets(sigs.join(reps, "doc_id", "left_semi"), cfg)
+    b.write.mode("overwrite").parquet(out)
+    print("bucket rows:", spark.read.parquet(out).count())
+    spark.stop()
+
+
 def main() -> None:
     if "--one" in sys.argv:
         i = sys.argv.index("--one")
         child(sys.argv[i + 1], sys.argv[i + 2], sys.argv[i + 3])
+        return
+    if "--gen" in sys.argv:
+        i = sys.argv.index("--gen")
+        gen(sys.argv[i + 1], sys.argv[i + 2])
         return
     rounds = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     path = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_PATH
@@ -138,8 +179,9 @@ def main() -> None:
         for v in variants:
             for m in masters:
                 s0, t0j = _steal()
+                vpath = FLOOR_PATH if v == "floor" else path
                 out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--one", m, v, path],
+                    [sys.executable, os.path.abspath(__file__), "--one", m, v, vpath],
                     capture_output=True,
                     text=True,
                     env=dict(os.environ, SPARK_DRIVER_MEMORY="24g"),
@@ -159,9 +201,16 @@ def main() -> None:
                     f"round {r} {v:8s} {m:9s}: {rec['wall']:7.2f}s "
                     f"rows={rec['rows']} steal={rec['steal_pct']}%"
                 )
-    # summary: best-of per (variant, master) + matched-round efficiencies
+    # summary: best-of per (variant, master) + floor-corrected efficiencies
+    floor = {}
+    for m in masters:
+        ws = [x["wall"] for x in res if x["variant"] == "floor" and x["master"] == m]
+        if ws:
+            floor[m] = min(ws)
     print("\nbest-of:")
     for v in variants:
+        if v == "floor":
+            continue
         best = {}
         for m in masters:
             ws = [x["wall"] for x in res if x["variant"] == v and x["master"] == m]
@@ -170,7 +219,13 @@ def main() -> None:
         if len(best) == 2:
             m2, m8 = masters
             eff = best[m2] / (4 * best[m8])
-            print(f"  {v:8s}: {m2}={best[m2]:.2f}s {m8}={best[m8]:.2f}s eff={eff:.3f}")
+            line = f"  {v:10s}: {m2}={best[m2]:.2f}s {m8}={best[m8]:.2f}s eff={eff:.3f}"
+            if len(floor) == 2:
+                ceff = (best[m2] - floor[m2]) / (4 * (best[m8] - floor[m8]))
+                line += f" floor-corrected={ceff:.3f}"
+            print(line)
+    if len(floor) == 2:
+        print(f"  floor     : " + " ".join(f"{m}={floor[m]:.2f}s" for m in masters))
     out_path = time.strftime("BENCH/cand_ab_%Y%m%d_%H%M%S.json")
     with open(out_path, "w") as f:
         json.dump(res, f, indent=1)
