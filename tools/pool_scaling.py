@@ -313,8 +313,20 @@ the same constant is amortized over hours of work and is irrelevant
 
 Per-stage quiet-window efficiencies back this up (round-5 interleaved
 A/Bs at steal < 0.1%, 800k corpus): signatures 59.2 s -> 15.9 s (0.93),
-cand_pairs 20.9 -> 6.7 (0.78), dup_pairs 38.2 -> 11.4 (0.84),
-member_map 1.2 -> 0.7; the remaining wall is the fixed floor above. The
+dup_pairs 38.2 -> 11.4 (0.84), member_map 1.2 -> 0.7. The one stage
+that read below the gate in round 5 — cand_pairs, 20.9 -> 6.7 (0.78
+raw) — was re-attributed in round 6 with an ISOLATED stage A/B carrying
+its own stage-level floor probes (tools/cand_stage_ab.py over the
+pre-materialized 800k bucket table; 3 interleaved rounds x 4 variants,
+BENCH/cand_ab_20260817_200213.json): the non-scaling term was the AQE
+broadcast join-back, whose hash relation is built serially on the
+driver. The production form is now a forced shuffle-hash join-back
+(operators/candidates.py star mode): best-of 23.6 s -> 8.1 s = 0.73
+raw, **0.96 floor-corrected** (stage floors 1.72 s / 2.37 s measured by
+running the identical plan over a ~2k-doc bucket table, the job-level
+fixed_floor.json protocol applied per-stage); the broadcast form read
+0.67 / 0.80 and was slower at BOTH levels in every interleaved round.
+The remaining wall is the fixed floor above. The
 2M-file probe (BENCH/scaling_2m_probe_r5.json) brackets the other side:
 growing the corpus 2.5x pushes the local[8] shuffle working set into
 this VM's shared-bandwidth ceiling (cand/dup stages fall to 0.45-0.52),
