@@ -912,6 +912,90 @@ def histogram_intersection_distance(a: np.ndarray, b: np.ndarray) -> float:
     return float(1.0 - np.sum((a + b - np.abs(a - b)) * 0.5))
 
 
+def seq_score_block(q: np.ndarray, x: np.ndarray, measure: str) -> np.ndarray:
+    """(m, d) query block vs (n, d) corpus block -> (m, n) pairwise scores
+    with CATALYST-IDENTICAL float64 semantics.
+
+    functions/metrics.py's column expressions evaluate a sequential
+    left-fold ``aggregate(zip_with(a, b, term), 0.0, acc + v)``: one IEEE
+    rounding per elementwise term and one per accumulate step, in dimension
+    order. This kernel reproduces exactly that — a Python loop over the d
+    dimensions, each step a vectorized elementwise term on the (m, n) block
+    followed by one in-place add — so every score is bit-identical to the
+    value the Catalyst expression (and the DuckDB oracle's list_sum
+    comprehension, same fold) produces. A BLAS GEMM would be ~10x faster
+    per FLOP but sums in blocked/pairwise order, which can flip ranks or
+    6-decimal roundings of near-tied pairs; exactness is the contract here.
+
+    measure='cosine' returns the raw dot-product fold (caller divides by
+    the norm product, matching ``dot / (na * nb)``); 'euclidean' returns
+    sqrt of the squared-difference fold; 'hik' returns
+    ``1.0 - fold((a+b-|a-b|)*0.5)``.
+
+    Layout: operands are transposed once to (d, rows) C-contiguous so each
+    fold step reads contiguous dimension-rows (the row-major (n, d) column
+    slice is a 8*d-byte-strided gather, ~3x slower), the corpus axis is
+    tiled (``x_block``) so the accumulator + temporaries stay cache-resident,
+    and the temporaries are preallocated once per tile loop. None of this
+    changes any rounding: each step is still one elementwise multiply/term
+    rounding followed by one in-place add rounding, in dimension order.
+    (A BLAS GEMM is ~7x faster still, but its m/n-edge microkernels sum in
+    a different order — measured bitwise mismatches at odd block shapes —
+    so it cannot honor this contract.)
+    """
+    m, d = q.shape
+    n = x.shape[0]
+    x_block = 512
+    qt = np.ascontiguousarray(q.T)
+    xt = np.ascontiguousarray(x.T)
+    out = np.empty((m, n))
+    tmp = np.empty((m, x_block))
+    tmp2 = np.empty((m, x_block)) if measure == "hik" else None
+    for s in range(0, n, x_block):
+        e = min(s + x_block, n)
+        acc = np.zeros((m, e - s))
+        t = tmp[:, : e - s]
+        if measure == "cosine":
+            for j in range(d):
+                np.multiply(qt[j][:, None], xt[j, s:e][None, :], out=t)
+                np.add(acc, t, out=acc)
+        elif measure == "euclidean":
+            for j in range(d):
+                np.subtract(qt[j][:, None], xt[j, s:e][None, :], out=t)
+                np.multiply(t, t, out=t)
+                np.add(acc, t, out=acc)
+        elif measure == "hik":
+            t2 = tmp2[:, : e - s]
+            for j in range(d):
+                qa = qt[j][:, None]
+                xb = xt[j, s:e][None, :]
+                np.subtract(qa, xb, out=t2)
+                np.abs(t2, out=t2)
+                np.add(qa, xb, out=t)
+                np.subtract(t, t2, out=t)
+                np.multiply(t, 0.5, out=t)
+                np.add(acc, t, out=acc)
+        else:
+            raise ValueError(f"unknown measure: {measure}")
+        out[:, s:e] = acc
+    if measure == "euclidean":
+        return np.sqrt(out)
+    if measure == "hik":
+        return 1.0 - out
+    return out
+
+
+def seq_self_norms(x: np.ndarray) -> np.ndarray:
+    """Per-row l2 norms with the same sequential-fold rounding as
+    functions/metrics.py::l2_norm (sqrt of the dimension-ordered
+    sum-of-squares fold) — the norm half of the exact cosine contract."""
+    n_rows, d = x.shape
+    acc = np.zeros(n_rows)
+    for j in range(d):
+        acc += x[:, j] * x[:, j]
+    return np.sqrt(acc)
+
+
 def sha256_hex(text: str) -> str:
     """Per-row content invariant (BASELINE.json input_hint): must equal both
     Spark's ``sha2(encode(content,'utf-8'),256)`` and DuckDB's ``sha256``."""

@@ -53,43 +53,129 @@ def _self_pairs(emb: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _bruteforce_topk_blocked(
+    emb: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    measure: str,
+    ascending: bool,
+    q_block: int = 64,
+) -> DataFrame:
+    """Exact brute-force self top-k via blocked vectorized scoring against a
+    broadcast corpus matrix — identical results to the previous
+    crossJoin + interpreted ``aggregate(zip_with(...))`` + window-rank plan,
+    at a fraction of the cost (guide §4.2: hand whole batches to native
+    code; §1.2: remove the n^2-row window shuffle outright).
+
+    Plan shape change (plans/r07): the old plan materialized n^2 rows
+    through a BroadcastNestedLoopJoin, evaluated one INTERPRETED lambda
+    fold per pair (F.aggregate with lambdas gets no codegen), and shuffled
+    the pair table into a WindowGroupLimit sort. The new plan is a single
+    ArrowEvalPython-class pass over the query side: the corpus rides along
+    once as an (ids, matrix) broadcast — the SAME bytes the old
+    BroadcastExchange already collected to the driver and shipped to every
+    executor, so the driver-memory envelope is unchanged — and each task
+    emits only its queries' k winners (n*k rows instead of n^2).
+
+    Exactness contract: scores come from kernels.seq_score_block /
+    seq_self_norms, which reproduce the Catalyst fold's IEEE rounding
+    sequence bit-for-bit (see that docstring), so ranks, 6-decimal rounded
+    scores, and tie-breaks (score order, then neighbor_id asc — NaN scores
+    sort as Spark's NaN-greatest) are unchanged. Verified by exact
+    old-vs-new rowset equality at sf0.001/0.01/0.1/1.0 and the DuckDB
+    oracle gate (OPTIMIZATION_r07.md).
+
+    This is the O(n^2) correctness baseline by design (the certified scale
+    paths are rp_lsh/ivf/mrpt); the corpus matrix must fit one executor,
+    exactly as the previous broadcast relation had to.
+    """
+    spark = emb.sparkSession
+    base = emb.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    )
+    pdf = base.toPandas()  # Arrow path; same relation the old plan broadcast
+    ids_c = pdf["id"].to_numpy(np.int64)
+    x_mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+    bc = spark.sparkContext.broadcast((ids_c, x_mat))
+    kk = min(k, len(ids_c) - 1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, xm = bc.value
+        n = len(cids)
+        if kk <= 0:
+            return
+        nx = K.seq_self_norms(xm) if measure == "cosine" else None
+        for b in batches:
+            qids_all = b["id"].to_numpy(np.int64)
+            q_all = np.asarray(b["v"].tolist(), dtype=np.float64)
+            for s in range(0, len(qids_all), q_block):
+                qids = qids_all[s : s + q_block]
+                q = q_all[s : s + q_block]
+                m = len(qids)
+                scores = K.seq_score_block(q, xm, measure)
+                if measure == "cosine":
+                    nq = K.seq_self_norms(q)
+                    scores = scores / (nq[:, None] * nx[None, :])
+                # ascending sort key; Spark orders NaN greatest (=> first
+                # under desc, last under asc), and ties break on
+                # neighbor_id asc via lexsort below
+                key = scores.copy() if ascending else -scores
+                key[np.isnan(key)] = np.inf if ascending else -np.inf
+                key[qids[:, None] == cids[None, :]] = np.inf  # self-exclude
+                part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+                kth = key[np.arange(m)[:, None], part].max(axis=1)
+                out_q = np.empty(m * kk, np.int64)
+                out_n = np.empty(m * kk, np.int64)
+                out_s = np.empty(m * kk, np.float64)
+                for i in range(m):
+                    cand = np.flatnonzero(key[i] <= kth[i])
+                    sel = cand[np.lexsort((cids[cand], key[i, cand]))[:kk]]
+                    out_q[i * kk : (i + 1) * kk] = qids[i]
+                    out_n[i * kk : (i + 1) * kk] = cids[sel]
+                    out_s[i * kk : (i + 1) * kk] = scores[i, sel]
+                yield pd.DataFrame(
+                    {
+                        "query_id": out_q,
+                        "neighbor_id": out_n,
+                        "rank": np.tile(
+                            np.arange(1, kk + 1, dtype=np.int32), m
+                        ),
+                        "score": out_s,
+                    }
+                )
+
+    out = base.mapInPandas(
+        gen, schema="query_id long, neighbor_id long, rank int, score double"
+    )
+    return out.select(
+        "query_id", "neighbor_id", "rank", F.round("score", 6).alias("score")
+    )
+
+
 def cosine_topk(
     emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Brute-force all-pairs cosine top-k (descending similarity).
-
-    Norms are computed once per row *before* the join (n work instead of
-    n^2), so the per-pair expression is just the dot product."""
-    a = emb.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("va"),
-        M.l2_norm(vec_col).alias("na"),
-    )
-    b = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("vb"),
-        M.l2_norm(vec_col).alias("nb"),
-    )
-    p = a.crossJoin(F.broadcast(b)).where(F.col("query_id") != F.col("neighbor_id"))
-    score = M.dot("va", "vb") / (F.col("na") * F.col("nb"))
-    return _ranked(p, score, k, ascending=False)
+    """Brute-force all-pairs cosine top-k (descending similarity), blocked
+    exact scoring (see :func:`_bruteforce_topk_blocked`)."""
+    return _bruteforce_topk_blocked(emb, k, id_col, vec_col, "cosine", False)
 
 
 def euclidean_topk(
     emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Brute-force euclidean top-k — ``utils/metrics.py:73-86`` ranking."""
-    p = _self_pairs(emb, id_col, vec_col)
-    return _ranked(p, M.euclidean_distance("va", "vb"), k, ascending=True)
+    """Brute-force euclidean top-k — ``utils/metrics.py:73-86`` ranking,
+    blocked exact scoring (see :func:`_bruteforce_topk_blocked`)."""
+    return _bruteforce_topk_blocked(emb, k, id_col, vec_col, "euclidean", True)
 
 
 def hik_topk(
     emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
     """Histogram-intersection-distance top-k — ``utils/metrics.py:7-70``
-    ranking (the FLANN HIK path, ``impls/nn_index/flann.py:467-474``)."""
-    p = _self_pairs(emb, id_col, vec_col)
-    return _ranked(p, M.histogram_intersection_distance("va", "vb"), k, ascending=True)
+    ranking (the FLANN HIK path, ``impls/nn_index/flann.py:467-474``),
+    blocked exact scoring (see :func:`_bruteforce_topk_blocked`)."""
+    return _bruteforce_topk_blocked(emb, k, id_col, vec_col, "hik", True)
 
 
 RP_SIG_SCHEMA = "vec_id long, rp_sig long"
@@ -237,6 +323,64 @@ def hamming_pairs_banded(
         .where(F.col("hamming") <= radius)
         .select("a", "b", "hamming")
     )
+
+
+def _pair_cosines_bcast(
+    cand: DataFrame,
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_cols: tuple = ("a", "b"),
+) -> DataFrame:
+    """(a, b) candidate pairs -> (a, b, cos) via a broadcast corpus matrix
+    and the exact sequential-fold kernel — replaces the
+    ``cand.join(v, "a").join(v, "b")`` + interpreted
+    ``M.cosine_similarity`` re-rank shape (guide §2.3 "shuffle keys and
+    metadata instead of payloads": only two longs per candidate row ever
+    move; the vectors ride once in the broadcast, which is the same
+    (id, vector) relation the join's broadcast hash build already shipped).
+
+    Exactness: per-pair dot and both norms come from the dimension-ordered
+    fold (kernels.seq_score_block contract) and the final
+    ``dot / (na * nb)`` rounds exactly like the Catalyst expression, so
+    scores are bit-identical to ``M.cosine_similarity`` on the joined
+    arrays. Corpus norms are computed once per row instead of once per
+    pair — same value by determinism of the fold.
+    """
+    spark = emb.sparkSession
+    pdf = emb.select(
+        F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("v")
+    ).toPandas()
+    ids = pdf["id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    x_mat = np.asarray(pdf["v"].tolist(), dtype=np.float64)[order]
+    norms = K.seq_self_norms(x_mat)
+    bc = spark.sparkContext.broadcast((ids_sorted, x_mat, norms))
+    ca, cb = out_cols
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sids, xm, ns = bc.value
+        d = xm.shape[1]
+        for b in batches:
+            a = b[ca].to_numpy(np.int64)
+            bb = b[cb].to_numpy(np.int64)
+            ia = np.searchsorted(sids, a)
+            ib = np.searchsorted(sids, bb)
+            # transposed-contiguous gathers so each fold step reads a
+            # contiguous row (same layout trick as seq_score_block)
+            va = np.ascontiguousarray(xm[ia].T)
+            vb = np.ascontiguousarray(xm[ib].T)
+            acc = np.zeros(len(a))
+            for j in range(d):
+                acc += va[j] * vb[j]
+            yield pd.DataFrame(
+                {ca: a, cb: bb, "cos": acc / (ns[ia] * ns[ib])}
+            )
+
+    return cand.select(
+        F.col(ca).cast("long").alias(ca), F.col(cb).cast("long").alias(cb)
+    ).mapInPandas(gen, schema=f"{ca} long, {cb} long, cos double")
 
 
 def cosine_dup_pairs(
@@ -523,12 +667,12 @@ def rp_lsh_topk(
         DEFAULT_CONFIG, bucket_cap=bucket_cap, salt_block_rows=salt_block_rows
     )
     cand = candidate_pairs(bucketed, cfg, mode="all")
-    v = emb.select(F.col(id_col).cast("long").alias("did"), F.col(vec_col).alias("v"))
-    scored = (
-        cand.join(v.select(F.col("did").alias("a"), F.col("v").alias("va")), "a")
-        .join(v.select(F.col("did").alias("b"), F.col("v").alias("vb")), "b")
-        .select("a", "b", M.cosine_similarity("va", "vb").alias("cos"))
-    )
+    # exact cosine re-rank once per undirected pair, via the broadcast
+    # corpus matrix instead of two vector-fetch joins + an interpreted
+    # per-pair Catalyst fold (see _pair_cosines_bcast; bit-identical
+    # scores, r07: two joins and the BatchEval of ~6M interpreted
+    # aggregate() calls removed at the driver's sf1.0 scale)
+    scored = _pair_cosines_bcast(cand, emb, id_col, vec_col)
     pairs = scored.select(
         F.explode(
             F.array(

@@ -50,6 +50,94 @@ def test_euclidean_topk_matches_numpy(spark, emb):
         assert [n for _, n in sorted(lst)] == want[q]
 
 
+def test_seq_score_block_bit_identical_to_naive_fold():
+    # r07: the tiled/transposed fold kernel behind the blocked brute-force
+    # top-k must reproduce the naive dimension-ordered fold (and therefore
+    # the Catalyst aggregate(zip_with(...)) expression) BIT-FOR-BIT — the
+    # exactness contract that lets the blocked path replace the old
+    # crossJoin + window plan with identical results.
+    rng = np.random.default_rng(123)
+    for m, n, d in ((1, 1, 1), (5, 17, 3), (63, 513, 64), (40, 1100, 32)):
+        q = rng.standard_normal((m, d))
+        x = rng.standard_normal((n, d))
+        for measure in ("cosine", "euclidean", "hik"):
+            acc = np.zeros((m, n))
+            if measure == "cosine":
+                for j in range(d):
+                    acc += q[:, j, None] * x[None, :, j]
+                ref = acc
+            elif measure == "euclidean":
+                for j in range(d):
+                    diff = q[:, j, None] - x[None, :, j]
+                    acc += diff * diff
+                ref = np.sqrt(acc)
+            else:
+                for j in range(d):
+                    qa = q[:, j, None]
+                    xb = x[None, :, j]
+                    acc += (qa + xb - np.abs(qa - xb)) * 0.5
+                ref = 1.0 - acc
+            got = K.seq_score_block(q, x, measure)
+            assert np.array_equal(ref, got), (measure, m, n, d)
+
+
+def test_blocked_topk_matches_crossjoin_window_plan(spark, emb):
+    # r07: the blocked brute-force top-k must emit EXACTLY the rowset of
+    # the previous crossJoin + aggregate(zip_with) + row_number window
+    # plan — ranks, tie-breaks, and 6-decimal rounded scores included.
+    from pyspark.sql import functions as F2
+
+    from smqtk_indexing_spark.functions import metrics as M
+
+    df, _ = emb
+    a = df.select(
+        F2.col("vec_id").alias("query_id"),
+        F2.col("embedding").alias("va"),
+        M.l2_norm("embedding").alias("na"),
+    )
+    b = df.select(
+        F2.col("vec_id").alias("neighbor_id"),
+        F2.col("embedding").alias("vb"),
+        M.l2_norm("embedding").alias("nb"),
+    )
+    p = a.crossJoin(F2.broadcast(b)).where(
+        F2.col("query_id") != F2.col("neighbor_id")
+    )
+    score = M.dot("va", "vb") / (F2.col("na") * F2.col("nb"))
+    old = sorted(map(tuple, ann._ranked(p, score, 4, False).collect()))
+    new = sorted(map(tuple, ann.cosine_topk(df, k=4).collect()))
+    assert old == new
+
+
+def test_pair_cosines_bcast_matches_catalyst(spark, emb):
+    # r07: the broadcast-matrix pair scorer (rp_lsh re-rank) must be
+    # bit-identical to the joined-array Catalyst cosine on the same pairs.
+    from pyspark.sql import functions as F2
+
+    from smqtk_indexing_spark.functions import metrics as M
+
+    df, _ = emb
+    cand = (
+        df.select(F2.col("vec_id").alias("a"))
+        .crossJoin(df.select(F2.col("vec_id").alias("b")))
+        .where((F2.col("a") < F2.col("b")) & (F2.col("b") - F2.col("a") < 7))
+    )
+    v = df.select(F2.col("vec_id").alias("did"), F2.col("embedding").alias("v"))
+    old = sorted(
+        map(
+            tuple,
+            cand.join(
+                v.select(F2.col("did").alias("a"), F2.col("v").alias("va")), "a"
+            )
+            .join(v.select(F2.col("did").alias("b"), F2.col("v").alias("vb")), "b")
+            .select("a", "b", M.cosine_similarity("va", "vb").alias("cos"))
+            .collect(),
+        )
+    )
+    new = sorted(map(tuple, ann._pair_cosines_bcast(cand, df).collect()))
+    assert old == new
+
+
 def test_rp_signatures_deterministic_and_kernel_parity(spark, emb):
     df, vecs = emb
     sigs = {r.vec_id: r.rp_sig for r in ann.rp_signatures(df, seed=42).collect()}
