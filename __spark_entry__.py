@@ -330,6 +330,19 @@ def q_substring_containment(spark, sf_dir):
     # the verified-pair plan is returned lazy and the persisted chunk
     # cache is memoized beside _PAIR_MEMO (bounded: one per sf_dir/config;
     # repeat calls reuse both the plan and the warm cache).
+    #
+    # r07: candidates come from the UNCAPPED rarest-chunk anchor
+    # (mode='rarest', df_cap=None) instead of the all-interior equi-join.
+    # With the cap disabled the candidate DOMAIN is identical (every
+    # containee with an interior chunk >= the length floor; its rarest
+    # interior chunk necessarily appears in any container's chunk set) and
+    # the exact JVM `contains` verify removes every false candidate, so
+    # the output pair set is unchanged — oracle-gated + old-vs-new rowset
+    # equality at all four SFs. What changes is join volume: hot
+    # boilerplate chunk hashes (df up to 13k at the 50k-doc bench corpus)
+    # made the all-interior chunk join quadratic (605M join rows); the
+    # rarest anchor joins one chunk per containee (435k rows, ~1400x
+    # less — OPTIMIZATION_r07.md).
     _memo_evict_stopped()
     key = (id(spark.sparkContext), sf_dir, CFG.config_hash)
     hit = _SUBSTR_MEMO.get(key)
@@ -341,6 +354,8 @@ def q_substring_containment(spark, sf_dir):
         CFG,
         id_col="doc_id",
         text_col="text",
+        mode="rarest",
+        df_cap=None,
         n_docs=_docs_count(spark, sf_dir),
         cleanup_out=caches,
     ).select("inner", "outer")

@@ -86,6 +86,15 @@ class DedupConfig:
     cdc_window_fine: int = 4
     cdc_mask_bits_fine: int = 2
     short_nlj_cap: int = 4096
+    # Recall boundary of the CAPPED rarest-chunk containment path
+    # (operators/substrings.py containment_candidates_rarest /
+    # rarest_dropped_containees): containees whose rarest interior chunk
+    # still has document frequency above this are dropped. Promoted from
+    # bare call-site defaults (round-6 VERDICT item 4) so the
+    # substring_rarest_cert domain and the production path can never
+    # drift. The r07 production substring query passes df_cap=None
+    # explicitly (uncapped: identical domain to the all-interior join).
+    rarest_df_cap: int = 10_000
     # --- misc ---
     shuffle_partitions: int = 32
 

