@@ -26,8 +26,7 @@ from smqtk_indexing_spark.functions.text import LANG_MARKERS, _STOPWORDS
 from smqtk_indexing_spark.operators import ann, dedup
 from smqtk_indexing_spark.operators.candidates import (
     band_buckets,
-    candidate_pairs,
-    ranked_hot_buckets,
+    candidate_pairs_local,
 )
 from smqtk_indexing_spark.operators.cluster import connected_components
 from smqtk_indexing_spark.operators.multimodal import extract_features, to_assets
@@ -177,19 +176,18 @@ def _lsh_pairs(spark, sf_dir, materialize: bool = True):
     docs = _docs(spark, sf_dir)
     sigs = compute_signatures(docs, CFG, include=("bands",))
     buckets = band_buckets(sigs, CFG)
-    # Materializing the shared ranked-hot-bucket table stops the all-mode
-    # candidate branches re-deriving it once each (see
-    # candidates.ranked_hot_buckets) — a measured win at corpus scale
-    # (round 4: cand stage ~22 s -> ~9 s on 400k docs at local[8]) but a
-    # net LOSS at driver-query SF — thresholds and A/B numbers live on
-    # cfg.ranked_persist_min_docs (config.py). Gate on corpus size via one
-    # memoized metadata-count job per sf_dir.
-    use_ranked = (
-        materialize and _docs_count(spark, sf_dir) >= CFG.ranked_persist_min_docs
-    )
-    ranked = ranked_hot_buckets(buckets, CFG).persist() if use_ranked else None
+    # r07: all-mode candidates come from candidates.candidate_pairs_local —
+    # ONE bucket-key exchange + a per-partition kernel (exact local sizes,
+    # small buckets enumerated in place, giants striped into the same
+    # salted block rows) instead of the ranked-hot-bucket derivation
+    # (sizes groupBy + AQE join-back + rank window) and its persist gate.
+    # Identical pair set (oracle-gated); the single-consumer dataflow also
+    # runs the signature pass exactly once, so the ranked_persist_min_docs
+    # materialization gate is moot on this path (the pipeline twin keeps
+    # the hybrid generator + ranked checkpoint stage). Measured at sf1.0
+    # local[32]: candidate stage 3.5 s -> ~1 s, query 5.9 s -> ~3.7 s.
     sh = None
-    cand = candidate_pairs(buckets, CFG, ranked=ranked)
+    cand = candidate_pairs_local(buckets, CFG)
     if materialize:
         cand = cand.persist()
     try:
@@ -237,8 +235,6 @@ def _lsh_pairs(spark, sf_dir, materialize: bool = True):
     finally:
         if materialize:
             cand.unpersist()
-            if ranked is not None:
-                ranked.unpersist()
             if sh is not None:
                 sh.unpersist()
 

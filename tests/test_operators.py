@@ -129,6 +129,38 @@ def test_hybrid_mixed_small_and_giant_buckets(spark):
     }
 
 
+def test_candidate_pairs_local_parity(spark):
+    # r07: the one-exchange per-partition generator must emit exactly the
+    # hybrid all-mode pair set — mixed small + giant buckets, cap drops,
+    # cross-band duplicates removed — for every salt threshold.
+    from dataclasses import replace
+
+    from smqtk_indexing_spark.operators.candidates import candidate_pairs_local
+
+    rows = [(i, "giant family content a b c d " * 5) for i in range(30)]
+    rows += [(100 + i, f"small group one {i % 2} x y z w " * 4) for i in range(4)]
+    rows += [(200 + i, f"unique doc {i} alpha beta gamma delta " * 3) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    buckets = band_buckets(compute_signatures(df, CFG), CFG)
+    for salt in (8, 64, 10_000):
+        want = {
+            (r.a, r.b)
+            for r in candidate_pairs(buckets, CFG, salt_threshold=salt).collect()
+        }
+        got_rows = candidate_pairs_local(buckets, CFG, salt_threshold=salt).collect()
+        got = {(r.a, r.b) for r in got_rows}
+        assert len(got_rows) == len(got)  # distinct
+        assert got == want, salt
+    # bucket_cap drop parity: cap below the giant family size drops it in
+    # both generators
+    cfg_cap = replace(CFG, bucket_cap=20)
+    want = {
+        (r.a, r.b) for r in candidate_pairs(buckets, cfg_cap, mode="all").collect()
+    }
+    got = {(r.a, r.b) for r in candidate_pairs_local(buckets, cfg_cap).collect()}
+    assert got == want
+
+
 def test_verify_thresholds(spark, small_docs):
     sigs = compute_signatures(small_docs, CFG)
     cand = candidate_pairs(band_buckets(sigs, CFG), CFG)
