@@ -117,6 +117,26 @@ _SUBSTR_MEMO: dict = {}
 
 _DOCS_COUNT_MEMO: dict = {}
 
+# Memoized full-corpus all-mode run_dedup shared by the two cert queries
+# (round-6 VERDICT item 5): q_incremental_equivalence_cert's from-scratch
+# reference run and q_star_cluster_cert's all-mode side are the IDENTICAL
+# computation (same corpus, same config — CFG.pair_mode is already "all"),
+# so the correctness pass runs 4 full pipelines between them instead of 5.
+# Same key discipline and eviction as _PAIR_MEMO; values are
+# PipelineResult objects whose stage tables are Checkpointer-materialized.
+_DEDUP_MEMO: dict = {}
+
+
+def _full_dedup_all(spark, sf_dir: str):
+    key = (id(spark.sparkContext), sf_dir, CFG.config_hash)
+    hit = _DEDUP_MEMO.get(key)
+    if hit is None:
+        from smqtk_indexing_spark.plans.pipeline import run_dedup
+
+        base = _docs(spark, sf_dir).select("doc_id", "text")
+        hit = _DEDUP_MEMO[key] = run_dedup(spark, base, CFG, text_col="text")
+    return hit
+
 
 def _docs_count(spark, sf_dir: str) -> int:
     """Memoized corpus row count (parquet metadata count — no data scan).
@@ -156,6 +176,16 @@ def _memo_evict_stopped() -> None:
     ]
     for k in dead:
         del _SUBSTR_MEMO[k]
+    dead = [
+        k
+        for k, res in _DEDUP_MEMO.items()
+        if any(
+            getattr(df.sparkSession.sparkContext, "_jsc", None) is None
+            for df in res.tables.values()
+        )
+    ]
+    for k in dead:
+        del _DEDUP_MEMO[k]
 
 
 def _lsh_pairs(spark, sf_dir, materialize: bool = True):
@@ -269,7 +299,8 @@ def q_incremental_equivalence_cert(spark, sf_dir):
     new_ids = base.where(F.col("doc_id") % 2 == 1).select("doc_id")
     prior = run_dedup(spark, first, CFG, text_col="text")
     updated = update_dedup(spark, base, new_ids, prior, CFG, text_col="text")
-    scratch = run_dedup(spark, base, CFG, text_col="text")
+    # shared with q_star_cluster_cert's all-mode side (_DEDUP_MEMO)
+    scratch = _full_dedup_all(spark, sf_dir)
     inc = updated.tables["clusters"].withColumnRenamed("cluster_id", "c_inc")
     full = scratch.tables["clusters"].withColumnRenamed("cluster_id", "c_full")
     n_docs = full.count()
@@ -303,9 +334,12 @@ def q_star_cluster_cert(spark, sf_dir):
     star = run_dedup(
         spark, base, replace(CFG, pair_mode="star"), text_col="text"
     ).tables["clusters"].withColumnRenamed("cluster_id", "c_star")
-    full = run_dedup(
-        spark, base, replace(CFG, pair_mode="all"), text_col="text"
-    ).tables["clusters"].withColumnRenamed("cluster_id", "c_all")
+    # replace(CFG, pair_mode="all") == CFG (the default IS "all"), so this
+    # side is the identical computation q_incremental_equivalence_cert runs
+    # from scratch — shared via _DEDUP_MEMO (round-6 VERDICT item 5)
+    full = _full_dedup_all(spark, sf_dir).tables["clusters"].withColumnRenamed(
+        "cluster_id", "c_all"
+    )
     n_docs = full.count()
     n_mismatch = (
         full.join(star, "doc_id")
